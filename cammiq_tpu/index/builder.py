@@ -1,0 +1,172 @@
+"""Build-pipeline orchestrator (reference: FastaReader::allocSuffixArray +
+computeIndex, src/build.cpp:268-739; SuffixArray::run, src/gsa.cpp:786-833).
+
+Pipeline: corpus -> SA -> LCP -> GSA -> (unique | doubly) LCP0 -> OCC ->
+MU -> sparsify -> FlatIndex (+ meta outputs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from ..config import BuildConfig
+from ..io.fasta import Corpus
+from ..utils.timing import Timings, stage_timer
+from ..ops.lcp import lcp_from_sa_numpy
+from ..ops.sa import suffix_array_numpy
+from .sparsify import SelectedSubstrings, select_substrings
+from .table import FlatIndex, build_flat_index, save_flat_index
+from .unique import (
+    compute_gsa,
+    doubly_lcp0,
+    min_unique,
+    occ_doubly,
+    occ_unique,
+    unique_lcp0,
+)
+
+
+@dataclasses.dataclass
+class BuildArtifacts:
+    unique_index: Optional[FlatIndex]
+    doubly_index: Optional[FlatIndex]
+    ulm_count_u: Optional[np.ndarray]   # per-file unique-L-mer counts
+    ulm_count_d: Optional[np.ndarray]
+    genome_lengths: np.ndarray          # per-file
+    corpus: Corpus
+    timings: Timings
+
+
+def _suffix_array(seq_with_sentinels: np.ndarray, engine: str) -> np.ndarray:
+    if engine == "native":
+        from .. import native
+
+        if native.available():
+            return native.suffix_array(seq_with_sentinels)
+        engine = "numpy"
+    if engine == "jax":
+        from ..ops.sa import suffix_array_jax
+
+        return np.asarray(suffix_array_jax(seq_with_sentinels)).astype(np.int64)
+    return suffix_array_numpy(seq_with_sentinels)
+
+
+def _lcp(seq: np.ndarray, sa: np.ndarray, engine: str) -> np.ndarray:
+    if engine == "native":
+        from .. import native
+
+        if native.available():
+            return native.lcp_kasai(seq, sa)
+        engine = "numpy"
+    return lcp_from_sa_numpy(seq, sa)
+
+
+def build_index(
+    corpus: Corpus,
+    cfg: BuildConfig,
+    engine: str = "auto",
+    verbose: bool = False,
+) -> BuildArtifacts:
+    """Run the full build pipeline on the host.
+
+    engine: 'auto' (native C++ if built, else numpy), 'native', 'numpy',
+    or 'jax' (on-device SA via prefix doubling; host for the rest).
+    """
+    timings = Timings()
+    if engine == "auto":
+        from .. import native
+
+        engine = "native" if native.available() else "numpy"
+
+    n = corpus.n
+    # the reference computes the SA over n + sentinels but keeps ranks of
+    # the n real suffixes only (divsufsort over n chars; src/build.cpp:286)
+    with stage_timer("computing suffix array", timings, verbose):
+        sa_full = _suffix_array(corpus.seq, engine)
+        sa = sa_full[:n]
+    with stage_timer("computing LCP array", timings, verbose):
+        lcp = _lcp(corpus.seq, sa, engine)
+    with stage_timer("computing generalized suffix array", timings, verbose):
+        gsa = compute_gsa(sa, corpus.ref_pos, corpus.ref_id)
+
+    unique_index = None
+    doubly_index = None
+    ulm_u = None
+    ulm_d = None
+
+    el = cfg.k - 1            # minuL - 1 (src/build.cpp:289)
+    ulmax = cfg.L             # passed as ulmax to run() (src/build.cpp:289)
+
+    if cfg.mode in ("unique", "both"):
+        with stage_timer("computing LCP0 array", timings, verbose):
+            lcp0 = unique_lcp0(gsa, lcp, el)
+        with stage_timer("computing OCC array", timings, verbose):
+            occ = occ_unique(sa, gsa, lcp, lcp0)
+        with stage_timer("computing minimum unique substrings", timings, verbose):
+            mu = min_unique(sa, lcp0, n)
+        with stage_timer("organizing index", timings, verbose):
+            sel = select_substrings(
+                corpus, mu, occ, cfg.L, cfg.Lmax, num_groups=cfg.num_groups
+            )
+            unique_index = build_flat_index(corpus.seq, sel, cfg.h, cfg.Lmax, False)
+            ulm_u = sel.ulm_count
+
+    if cfg.mode in ("doubly_unique", "both"):
+        with stage_timer("computing LCP0-D array", timings, verbose):
+            dres = doubly_lcp0(sa, gsa, lcp, el, ulmax)
+        with stage_timer("computing OCC array (doubly)", timings, verbose):
+            occ_d, occ2_d = occ_doubly(sa, gsa, dres.gsa2, lcp, dres.lcp0, ulmax)
+        with stage_timer("computing minimum unique substrings (doubly)", timings, verbose):
+            mu_d = min_unique(sa, dres.lcp0, n, ulmax=ulmax)
+        with stage_timer("organizing index (doubly)", timings, verbose):
+            sel_d = select_substrings(
+                corpus, mu_d, occ_d, cfg.L, cfg.Lmax,
+                gsa2_text=dres.gsa2, occ2=occ2_d, num_groups=cfg.num_groups,
+            )
+            doubly_index = build_flat_index(
+                corpus.seq, sel_d, cfg.h_doubly, cfg.Lmax, True
+            )
+            ulm_d = sel_d.ulm_count
+
+    return BuildArtifacts(
+        unique_index=unique_index,
+        doubly_index=doubly_index,
+        ulm_count_u=ulm_u,
+        ulm_count_d=ulm_d,
+        genome_lengths=corpus.genome_lengths(),
+        corpus=corpus,
+        timings=timings,
+    )
+
+
+def write_meta_outputs(art: BuildArtifacts, outdir: str) -> None:
+    """genome_lengths.out + unique_lmer_count_{u,d}.out, byte-compatible
+    with the reference (src/build.cpp:671-738)."""
+    os.makedirs(outdir, exist_ok=True)
+    rid = art.corpus.ref_id
+    if art.ulm_count_u is not None:
+        with open(os.path.join(outdir, "unique_lmer_count_u.out"), "w") as f:
+            for i in range(len(rid)):
+                f.write(f"{int(rid[i])}\t{int(art.ulm_count_u[i])}\n")
+    if art.ulm_count_d is not None:
+        with open(os.path.join(outdir, "unique_lmer_count_d.out"), "w") as f:
+            for i in range(len(rid)):
+                f.write(f"{int(rid[i])}\t{int(art.ulm_count_d[i])}\n")
+    with open(os.path.join(outdir, "genome_lengths.out"), "w") as f:
+        gl = art.genome_lengths
+        for i in range(len(rid)):
+            f.write(f"{int(rid[i])}\t{int(gl[i])}\n")
+
+
+def save_index(art: BuildArtifacts, outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    if art.unique_index is not None:
+        save_flat_index(os.path.join(outdir, "index_u.npz"), art.unique_index)
+    if art.doubly_index is not None:
+        save_flat_index(os.path.join(outdir, "index_d.npz"), art.doubly_index)
+    write_meta_outputs(art, outdir)

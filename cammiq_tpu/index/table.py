@@ -1,0 +1,278 @@
+"""Flat, vectorizable index table (replaces the reference's pointer tries).
+
+The reference stores selected substrings in a robin-hood hash map of 4-ary
+tries (src/hashtrie.{hpp,cpp}).  Pointer-chasing is hostile to TPUs, so the
+TPU-native layout is fully flat:
+
+- every substring is packed 2-bit into KW uint32 words (base t at bits
+  [2(t%16)] of word t//16), plus a length;
+- entries are sorted by their h-base prefix; each distinct prefix is a
+  "bucket" = a contiguous [start, count) range of entries;
+- an open-addressing power-of-two hash table maps prefix -> bucket with a
+  build-time-bounded probe distance (max_probes), so a query probe is a
+  fixed small number of gathers;
+- payloads (refID1, refID2, ucount1, ucount2, depth) live in parallel
+  int32 arrays indexed by entry id; entry id doubles as the identity the
+  reference's pleafNode pointer provides (rcount accumulators index by it).
+
+Invariants enforced at build (reference aborts on violation,
+src/hashtrie.cpp:146-149):
+- no key is a proper prefix of another;
+- exact duplicate keys must carry identical payloads (then deduped).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from ..ops.packing import SYMBOL_IDX, length_masks, pack_words
+from .sparsify import SelectedSubstrings
+
+_HASH_C1 = np.uint32(0x85EBCA6B)
+_HASH_C2 = np.uint32(0xC2B2AE35)
+
+
+def _mix32(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint32(16)
+        x = (x * _HASH_C1).astype(np.uint32)
+        x ^= x >> np.uint32(13)
+        x = (x * _HASH_C2).astype(np.uint32)
+        x ^= x >> np.uint32(16)
+    return x
+
+
+def hash_prefix(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """32-bit hash of a (lo, hi) uint32 prefix-key pair."""
+    with np.errstate(over="ignore"):
+        return _mix32(np.asarray(lo, np.uint32) ^ _mix32(np.asarray(hi, np.uint32) + np.uint32(0x9E3779B9)))
+
+
+@dataclasses.dataclass
+class FlatIndex:
+    """One flat table (unique or doubly)."""
+
+    h: int                     # prefix / hash length in bases
+    kw: int                    # key words per entry
+    # entries, sorted by bucket
+    key_words: np.ndarray      # uint32 [E, kw]
+    length: np.ndarray        # int32 [E] total substring length (>= h)
+    rid1: np.ndarray           # int32 [E]
+    rid2: np.ndarray           # int32 [E] (0 in the unique table)
+    ucount1: np.ndarray        # int32 [E]
+    ucount2: np.ndarray        # int32 [E]
+    # open-addressing prefix table
+    table_lo: np.ndarray       # uint32 [T]
+    table_hi: np.ndarray       # uint32 [T]
+    table_start: np.ndarray    # int32 [T] bucket start entry (or -1 empty)
+    table_count: np.ndarray    # int32 [T]
+    max_probes: int            # bound on linear-probe displacement
+    max_bucket: int            # max entries per bucket
+    is_doubly: bool
+
+    @property
+    def num_entries(self) -> int:
+        return int(self.length.shape[0])
+
+    @property
+    def table_size(self) -> int:
+        return int(self.table_start.shape[0])
+
+    def depth(self) -> np.ndarray:
+        """The reference pleafNode 'depth' = full substring length
+        (trie depth + hash_len, src/hashtrie.cpp:452,476)."""
+        return self.length
+
+
+def _prefix_lo_hi(words: np.ndarray, h: int) -> Tuple[np.ndarray, np.ndarray]:
+    nb0 = min(h, 16)
+    mask0 = np.uint32(0xFFFFFFFF) if nb0 >= 16 else np.uint32((1 << (2 * nb0)) - 1)
+    lo = words[:, 0] & mask0
+    if h > 16:
+        nb1 = h - 16
+        mask1 = np.uint32(0xFFFFFFFF) if nb1 >= 16 else np.uint32((1 << (2 * nb1)) - 1)
+        hi = words[:, 1] & mask1
+    else:
+        hi = np.zeros_like(lo)
+    return lo, hi
+
+
+def build_flat_index(
+    corpus_seq: np.ndarray,
+    selected: SelectedSubstrings,
+    h: int,
+    Lmax: int,
+    is_doubly: bool,
+    load_factor: float = 0.5,
+) -> FlatIndex:
+    """Pack selected substrings into a FlatIndex."""
+    kw = max(2, (Lmax + 15) // 16)
+    S = selected.size
+    if S == 0:
+        t = 8
+        return FlatIndex(
+            h=h, kw=kw,
+            key_words=np.zeros((0, kw), np.uint32),
+            length=np.zeros(0, np.int32),
+            rid1=np.zeros(0, np.int32), rid2=np.zeros(0, np.int32),
+            ucount1=np.zeros(0, np.int32), ucount2=np.zeros(0, np.int32),
+            table_lo=np.zeros(t, np.uint32), table_hi=np.zeros(t, np.uint32),
+            table_start=np.full(t, -1, np.int32), table_count=np.zeros(t, np.int32),
+            max_probes=1, max_bucket=0, is_doubly=is_doubly,
+        )
+
+    # gather substring codes [S, kw*16]
+    starts = selected.start
+    offs = np.arange(kw * 16, dtype=np.int64)
+    pos = starts[:, None] + offs[None, :]
+    pos = np.minimum(pos, corpus_seq.shape[0] - 1)
+    codes = SYMBOL_IDX[corpus_seq[pos]].astype(np.int64)
+    # mask beyond each substring's length
+    lens = selected.length
+    valid = offs[None, :] < lens[:, None]
+    codes = np.where(valid, codes, 0)
+    if (codes[valid] < 0).any():
+        raise ValueError("selected substring contains non-ACGT characters")
+    words = pack_words(codes, kw)                     # [S, kw]
+
+    # dedupe exact duplicates; validate payload equality
+    full = np.concatenate(
+        [words, lens[:, None].astype(np.uint32)], axis=1
+    )
+    order = np.lexsort(tuple(full[:, c] for c in range(full.shape[1] - 1, -1, -1)))
+    fs = full[order]
+    first = np.ones(S, dtype=bool)
+    first[1:] = (np.diff(fs.astype(np.int64), axis=0) != 0).any(axis=1)
+    group = np.cumsum(first) - 1
+    payload = np.stack(
+        [selected.rid[order], selected.occ[order], selected.rid2[order], selected.occ2[order]],
+        axis=1,
+    )
+    # all rows in a dup-group must have equal payload (reference asserts)
+    same_as_prev = ~first
+    if same_as_prev.any():
+        bad = (payload[same_as_prev] != payload[np.nonzero(same_as_prev)[0] - 1]).any()
+        if bad:
+            raise ValueError("duplicate key with mismatching payload (reference aborts)")
+    keep = order[first]
+    words = words[keep]
+    lens = lens[keep]
+    rid1 = selected.rid[keep]
+    rid2 = selected.rid2[keep]
+    uc1 = selected.occ[keep]
+    uc2 = selected.occ2[keep]
+    E = words.shape[0]
+
+    # sort by prefix to form buckets
+    plo, phi = _prefix_lo_hi(words, h)
+    order = np.lexsort((lens, plo, phi))
+    words, lens = words[order], lens[order]
+    rid1, rid2, uc1, uc2 = rid1[order], rid2[order], uc1[order], uc2[order]
+    plo, phi = plo[order], phi[order]
+    newb = np.ones(E, dtype=bool)
+    newb[1:] = (plo[1:] != plo[:-1]) | (phi[1:] != phi[:-1])
+    bstart = np.nonzero(newb)[0]
+    bcount = np.diff(np.concatenate([bstart, [E]]))
+    nb = bstart.shape[0]
+    max_bucket = int(bcount.max())
+
+    # prefix-freeness within buckets (reference: abortInsert)
+    _check_prefix_free(words, lens, bstart, bcount)
+
+    # open-addressing table
+    t = 8
+    while t < nb / load_factor:
+        t *= 2
+    while True:
+        table_lo = np.zeros(t, np.uint32)
+        table_hi = np.zeros(t, np.uint32)
+        table_start = np.full(t, -1, np.int32)
+        table_count = np.zeros(t, np.int32)
+        hv = hash_prefix(plo[bstart], phi[bstart]).astype(np.int64) & (t - 1)
+        # insert buckets in hash order (linear probing), track displacement
+        max_disp = 0
+        ok = True
+        occupied = np.zeros(t, dtype=bool)
+        order_h = np.argsort(hv, kind="stable")
+        for b in order_h:
+            slot = int(hv[b])
+            d = 0
+            while occupied[slot]:
+                slot = (slot + 1) & (t - 1)
+                d += 1
+                if d > 64:
+                    ok = False
+                    break
+            if not ok:
+                break
+            occupied[slot] = True
+            table_lo[slot] = plo[bstart[b]]
+            table_hi[slot] = phi[bstart[b]]
+            table_start[slot] = bstart[b]
+            table_count[slot] = bcount[b]
+            max_disp = max(max_disp, d)
+        if ok:
+            break
+        t *= 2
+
+    return FlatIndex(
+        h=h, kw=kw,
+        key_words=words.astype(np.uint32),
+        length=lens.astype(np.int32),
+        rid1=rid1.astype(np.int32), rid2=rid2.astype(np.int32),
+        ucount1=uc1.astype(np.int32), ucount2=uc2.astype(np.int32),
+        table_lo=table_lo, table_hi=table_hi,
+        table_start=table_start, table_count=table_count,
+        max_probes=max_disp + 1, max_bucket=max_bucket,
+        is_doubly=is_doubly,
+    )
+
+
+def _check_prefix_free(words: np.ndarray, lens: np.ndarray,
+                       bstart: np.ndarray, bcount: np.ndarray) -> None:
+    """Within each bucket (entries sorted by length), no key may be a
+    prefix of a longer one."""
+    kw = words.shape[1]
+    for s, c in zip(bstart, bcount):
+        if c == 1:
+            continue
+        w = words[s : s + c]
+        l = lens[s : s + c]
+        masks = length_masks(l, kw)  # [c, kw]
+        for a in range(int(c) - 1):
+            # a has the (weakly) smallest length in a..end (sorted)
+            m = masks[a]
+            if ((w[a + 1 :] & m) == (w[a] & m)).all(axis=1).any():
+                raise ValueError(
+                    "Illegal insertion, another key with the same prefix already exists."
+                )
+
+
+def save_flat_index(path: str, idx: FlatIndex) -> None:
+    np.savez_compressed(
+        path,
+        h=idx.h, kw=idx.kw, is_doubly=int(idx.is_doubly),
+        key_words=idx.key_words, length=idx.length,
+        rid1=idx.rid1, rid2=idx.rid2, ucount1=idx.ucount1, ucount2=idx.ucount2,
+        table_lo=idx.table_lo, table_hi=idx.table_hi,
+        table_start=idx.table_start, table_count=idx.table_count,
+        max_probes=idx.max_probes, max_bucket=idx.max_bucket,
+    )
+
+
+def load_flat_index(path: str) -> FlatIndex:
+    z = np.load(path)
+    return FlatIndex(
+        h=int(z["h"]), kw=int(z["kw"]),
+        key_words=z["key_words"], length=z["length"],
+        rid1=z["rid1"], rid2=z["rid2"],
+        ucount1=z["ucount1"], ucount2=z["ucount2"],
+        table_lo=z["table_lo"], table_hi=z["table_hi"],
+        table_start=z["table_start"], table_count=z["table_count"],
+        max_probes=int(z["max_probes"]), max_bucket=int(z["max_bucket"]),
+        is_doubly=bool(int(z["is_doubly"])),
+    )
