@@ -284,7 +284,9 @@ def occ_doubly(sa: np.ndarray, gsa: np.ndarray, gsa2_text: np.ndarray,
         return (gsa[j] == gsa[i]) | (gsa[j] == g2_rank[i])
 
     def allowed_down(i, j):
-        return (j > end_excl) & ((gsa[j] == gsa[i]) | (gsa[j] == g2_rank[i]))
+        # the reference walk reaches neighbors down to rank `end` inclusive
+        # (loop guard i - j > end with neighbor i - j - 1, gsa.cpp:634)
+        return (j >= end_excl) & ((gsa[j] == gsa[i]) | (gsa[j] == g2_rank[i]))
 
     # Unlike the unique OCC, the walk continues while the genome matches
     # even after the min LCP drops; but the count condition is monotone so
