@@ -139,6 +139,19 @@ def build_flat_index(
         raise ValueError("selected substring contains non-ACGT characters")
     words = pack_words(codes, kw)                     # [S, kw]
 
+    # canonicalize doubly pair orientation (the reference accepts the
+    # swapped payload as consistent, src/hashtrie.cpp:74-87): smaller rid
+    # first, occ counts travel with their rid
+    rid_a, occ_a = selected.rid.copy(), selected.occ.copy()
+    rid_b, occ_b = selected.rid2.copy(), selected.occ2.copy()
+    if is_doubly:
+        swap = (rid_b != 0) & (rid_a > rid_b)
+        rid_a2 = np.where(swap, rid_b, rid_a)
+        occ_a2 = np.where(swap, occ_b, occ_a)
+        rid_b = np.where(swap, rid_a, rid_b)
+        occ_b = np.where(swap, occ_a, occ_b)
+        rid_a, occ_a = rid_a2, occ_a2
+
     # dedupe exact duplicates; validate payload equality
     full = np.concatenate(
         [words, lens[:, None].astype(np.uint32)], axis=1
@@ -149,8 +162,7 @@ def build_flat_index(
     first[1:] = (np.diff(fs.astype(np.int64), axis=0) != 0).any(axis=1)
     group = np.cumsum(first) - 1
     payload = np.stack(
-        [selected.rid[order], selected.occ[order], selected.rid2[order], selected.occ2[order]],
-        axis=1,
+        [rid_a[order], occ_a[order], rid_b[order], occ_b[order]], axis=1
     )
     # all rows in a dup-group must have equal payload (reference asserts)
     same_as_prev = ~first
@@ -161,10 +173,10 @@ def build_flat_index(
     keep = order[first]
     words = words[keep]
     lens = lens[keep]
-    rid1 = selected.rid[keep]
-    rid2 = selected.rid2[keep]
-    uc1 = selected.occ[keep]
-    uc2 = selected.occ2[keep]
+    rid1 = rid_a[keep]
+    rid2 = rid_b[keep]
+    uc1 = occ_a[keep]
+    uc2 = occ_b[keep]
     E = words.shape[0]
 
     # sort by prefix to form buckets
