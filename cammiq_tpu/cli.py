@@ -1,0 +1,285 @@
+"""cammiq-compatible command-line interface.
+
+Mirrors the reference CLI surface (src/main.cpp:48-552):
+
+  cammiq-tpu --build (--unique|--doubly_unique|--both) -f MAP -D DIR \
+      [-k K] [-L L] [-Lmax LMAX] [-h H [H2]] [-i IDX_U IDX_D] [-t T]
+  cammiq-tpu --query [--read_cnts [--doubly_unique]] -f MAP \
+      -i IDX_U [IDX_D] (-q FASTQ... | -Q DIR) -o OUT [-e ERATE] [-h H] \
+      [--read_length_filter N] [fine parameter flags]
+
+Index files use the .npz flat format (plus the three text meta files,
+byte-compatible with the reference).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from .config import BuildConfig, FineParams, IdentFineParams, QueryConfig
+
+
+def _err(msg: str) -> None:
+    print(msg, file=sys.stderr)
+    sys.exit(1)
+
+
+def parse_args(argv: List[str]) -> dict:
+    a = {
+        "mode": None, "idx_option": None, "id_mode": 0,
+        "K": None, "L": None, "Lmax": None, "h": None, "h1": None, "h2": None,
+        "fa_dir": "", "fm_name": "", "fq_dir": "", "fq_names": [],
+        "fi_u": "", "fi_d": "", "output": "", "erate": 0.0, "t": 1,
+        "min_rl": 0, "debug": False,
+        "read_cnt_thres": -1.0, "easy_thres": -1.0, "ilp_eps": -1.0,
+        "ilp_alpha": -1.0, "max_cov": -1.0,
+        "u_thres": -1.0, "d_thres": -1.0,
+        "engine": "auto",
+    }
+    i = 0
+    while i < len(argv):
+        v = argv[i]
+        if v == "--help":
+            print(__doc__)
+            sys.exit(0)
+        elif v == "--build":
+            a["mode"] = 0
+        elif v == "--query":
+            a["mode"] = 1
+        elif v == "--unique":
+            if a["mode"] == 0:
+                a["idx_option"] = "unique"
+        elif v == "--doubly_unique":
+            if a["mode"] == 0:
+                a["idx_option"] = "doubly_unique"
+            else:
+                a["id_mode"] = 2
+        elif v == "--both":
+            a["idx_option"] = "both"
+        elif v == "--read_cnts":
+            a["id_mode"] = max(a["id_mode"], 1)
+        elif v == "--enable_ilp_display":
+            a["debug"] = True
+        elif v == "--read_length_filter":
+            i += 1
+            a["min_rl"] = int(argv[i])
+        elif v == "--read_cnt_thres":
+            i += 1
+            a["read_cnt_thres"] = float(argv[i])
+        elif v == "--easy_to_identify_thres":
+            i += 1
+            a["easy_thres"] = float(argv[i])
+        elif v == "--ilp_epsilon":
+            i += 1
+            a["ilp_eps"] = float(argv[i])
+        elif v == "--ilp_alpha":
+            i += 1
+            a["ilp_alpha"] = float(argv[i])
+        elif v == "--max_depth":
+            i += 1
+            a["max_cov"] = float(argv[i])
+        elif v == "--unique_read_cnt_thres":
+            i += 1
+            a["u_thres"] = float(argv[i])
+        elif v == "--doubly_unique_read_cnt_thres":
+            i += 1
+            a["d_thres"] = float(argv[i])
+        elif v == "--engine":
+            i += 1
+            a["engine"] = argv[i]
+        elif v == "-k":
+            i += 1
+            a["K"] = int(argv[i])
+        elif v == "-L":
+            i += 1
+            a["L"] = int(argv[i])
+        elif v == "-Lmax":
+            i += 1
+            a["Lmax"] = int(argv[i])
+        elif v == "-h":
+            vals = []
+            while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                vals.append(int(argv[i]))
+            if len(vals) == 1:
+                a["h"] = vals[0]
+            elif len(vals) >= 2:
+                a["h1"], a["h2"] = vals[0], vals[1]
+        elif v == "-f":
+            i += 1
+            a["fm_name"] = argv[i]
+        elif v == "-D":
+            i += 1
+            a["fa_dir"] = argv[i]
+        elif v == "-Q":
+            i += 1
+            a["fq_dir"] = argv[i]
+        elif v == "-q":
+            while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                a["fq_names"].append(argv[i])
+        elif v == "-i":
+            vals = []
+            while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                vals.append(argv[i])
+            if vals:
+                a["fi_u"] = vals[0]
+            if len(vals) > 1:
+                a["fi_d"] = vals[1]
+        elif v == "-o":
+            i += 1
+            a["output"] = argv[i]
+        elif v == "-e":
+            i += 1
+            a["erate"] = float(argv[i])
+        elif v == "-t":
+            i += 1
+            a["t"] = int(argv[i])
+        else:
+            _err(f"Failed to recognize option: {v}.")
+        i += 1
+    return a
+
+
+def run_build(a: dict) -> None:
+    from .index.builder import build_index, save_index
+    from .io.fasta import build_corpus, list_fasta_dir, read_map_file
+
+    cfg = BuildConfig(
+        k=a["K"] or 26,
+        L=a["L"] or 100,
+        Lmax=a["Lmax"] or 50,
+        h=a["h"] or a["h1"] or 26,
+        h2=a["h2"],
+        mode=a["idx_option"] or "both",
+        num_groups=min(a["t"], 4),
+    )
+    if a["fm_name"]:
+        files = read_map_file(a["fm_name"], a["fa_dir"])
+        files.sort(key=lambda x: x[0])  # reference std::map path order
+    elif a["fa_dir"]:
+        files = list_fasta_dir(a["fa_dir"])
+    else:
+        _err("Please specify a map file (-f) or fasta directory (-D).")
+    corpus = build_corpus(files)
+    print(
+        f"****************************\n"
+        f"Total num bases: {corpus.n}\n"
+        f"Total num genomes: {corpus.num_files}\n"
+        f"Total num contigs: {corpus.num_contigs}\n"
+        f"****************************",
+        file=sys.stderr,
+    )
+    art = build_index(corpus, cfg, engine=a["engine"], verbose=True)
+    outdir = os.path.dirname(a["fi_u"]) or "."
+    from .index.builder import write_meta_outputs
+    from .index.table import save_flat_index
+
+    os.makedirs(outdir, exist_ok=True)
+    if art.unique_index is not None:
+        save_flat_index(a["fi_u"] or os.path.join(outdir, "index_u.npz"),
+                        art.unique_index)
+    if art.doubly_index is not None:
+        save_flat_index(a["fi_d"] or os.path.join(outdir, "index_d.npz"),
+                        art.doubly_index)
+    write_meta_outputs(art, outdir)
+
+
+def run_query(a: dict) -> None:
+    from .index.table import load_flat_index
+    from .io.fastq import list_fastq_dir, read_fastq
+    from .io.mapfile import load_genome_lengths, load_smap
+    from .models import output as outmod
+    from .models.ident import solve_ident
+    from .models.quant import abundances, build_problem, solve_quant
+    from .query.pipeline import QuerySession
+
+    if not a["fi_u"]:
+        _err("Please specify index files (-i).")
+    index_u = load_flat_index(a["fi_u"])
+    index_d = load_flat_index(a["fi_d"]) if a["fi_d"] and os.path.exists(a["fi_d"]) else None
+
+    table = load_smap(a["fm_name"])
+    idx_dir = os.path.dirname(a["fi_u"]) or "."
+    need_meta = a["id_mode"] == 0
+    if need_meta:
+        load_genome_lengths(table, idx_dir, require_doubly=index_d is not None)
+    G = table.n_species + 1
+
+    fine = FineParams(
+        read_cnt_thres=int(a["read_cnt_thres"]) if a["read_cnt_thres"] > 0 else 100,
+        easy_to_identify_thres=int(a["easy_thres"]) if a["easy_thres"] > 0 else 10000,
+        ilp_epsilon=a["ilp_eps"] if a["ilp_eps"] > 0 else 0.01,
+        ilp_alpha=a["ilp_alpha"] if a["ilp_alpha"] > 0 else 0.0001,
+        max_cov=a["max_cov"] if a["max_cov"] > 0 else 100.0,
+    )
+    identp = IdentFineParams(
+        unique_read_cnt_thres=int(a["u_thres"]) if a["u_thres"] > 0 else 10,
+        doubly_unique_read_cnt_thres=int(a["d_thres"]) if a["d_thres"] > 0 else 5,
+    )
+    qcfg = QueryConfig(h=index_u.h, erate=a["erate"], min_read_len=a["min_rl"],
+                       id_mode=a["id_mode"], fine=fine, ident=identp)
+    sess = QuerySession(index_u, index_d, G, qcfg)
+
+    files = a["fq_names"] or (list_fastq_dir(a["fq_dir"]) if a["fq_dir"] else [])
+    if not files:
+        _err("Please specify at least one query file or directory.")
+    out_path = a["output"] or "./quantification_results.out"
+
+    gl, nus, nds = table.arrays()
+    mode = "w"
+    for fi, path in enumerate(files):
+        reads = read_fastq(path, min_len=a["min_rl"])
+        sc = a["id_mode"] > 0
+        counts = sess.run(reads, sc_mode=sc, verbose=True)
+        print(f"Number of unlabeled reads: {counts.nundet}.", file=sys.stderr)
+        print(f"Number of reads with conflict labels: {counts.nconf}.", file=sys.stderr)
+        name = os.path.basename(path)
+        with open(out_path, mode) as f:
+            if a["id_mode"] == 0:
+                prob = build_problem(
+                    index_u, index_d,
+                    counts.rcount_u, counts.rcount_d,
+                    counts.cnts_u.astype(np.float64), counts.cnts_d.astype(np.float64),
+                    nus.astype(np.float64), nds.astype(np.float64),
+                    gl, counts.mean_read_len, counts.num_reads,
+                    a["erate"], fine,
+                )
+                exist, cov, info = solve_quant(prob)
+                print(f"{int(prob.exist0.sum())} genomes may exist in query "
+                      f"{name}.", file=sys.stderr)
+                print(f"Time for quantification: "
+                      f"{info['solve_time']*1e3:.0f} ms.", file=sys.stderr)
+                outmod.write_quant_block(f, name, table, exist, cov,
+                                         last_file=(fi == len(files) - 1))
+            elif a["id_mode"] == 1:
+                if fi == 0:
+                    outmod.write_counts_header(f, table)
+                outmod.write_counts_row(f, name, counts.cnts_u, table.n_species)
+            else:
+                if fi == 0:
+                    outmod.write_counts_header(f, table)
+                exist, redist = solve_ident(
+                    counts.cnts_u, counts.cnts_d, counts.pair_counts, identp
+                )
+                outmod.write_counts_row(f, name, redist, table.n_species)
+        mode = "a"
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    a = parse_args(list(sys.argv[1:] if argv is None else argv))
+    if a["mode"] == 0:
+        run_build(a)
+    elif a["mode"] == 1:
+        run_query(a)
+    else:
+        _err("Specify --build or --query.")
+
+
+if __name__ == "__main__":
+    main()

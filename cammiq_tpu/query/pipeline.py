@@ -97,7 +97,21 @@ class QuerySession:
         nconf = 0
         pair_counts: Dict[Tuple[int, int], int] = {}
 
+        # avoid gross padding: shrink the batch to the read count (rounded
+        # to a power of two) and the width to the longest read (rounded to
+        # a multiple of 16)
         bs = self.cfg.batch_size
+        if reads.num_reads < bs:
+            bs = max(256, 1 << (max(reads.num_reads - 1, 1)).bit_length())
+            bs = min(bs, self.cfg.batch_size)
+        if reads.num_reads:
+            lp_eff = int(reads.lengths.max())
+            lp_eff = min(reads.codes.shape[1], (lp_eff + 15) // 16 * 16)
+            if lp_eff < reads.codes.shape[1]:
+                reads = ReadSet(
+                    codes=reads.codes[:, :lp_eff], lengths=reads.lengths,
+                    total_len=reads.total_len, name=reads.name,
+                )
         with stage_timer("query", timings, verbose):
             for batch in reads.batches(bs):
                 out = self._classify(
