@@ -1,0 +1,299 @@
+"""Distributed query: data-parallel reads x model-parallel index shards.
+
+The TPU-native replacement for the reference's OpenMP read loop with
+omp-critical counter updates (src/query.cpp:650-889):
+
+- reads are sharded over the 'data' mesh axis;
+- the flat index is split into bucket-aligned entry shards over the
+  'model' axis (replication = model=1);
+- each device probes its read shard against its index shard; per-read
+  match slots are all_gathered over 'model'; the case analysis runs
+  replicated; per-genome counts merge with psum over the mesh and
+  per-entry rcounts stay sharded over 'model'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..index.table import FlatIndex, hash_prefix
+from ..query.classify import (
+    BatchCounts,
+    MatchSlots,
+    case_analysis,
+    collect_matches,
+    rcounts_from_case,
+)
+from ..query.probe import DeviceIndex
+from .mesh import shard_map_fn
+
+
+@dataclasses.dataclass
+class ShardedIndex:
+    """A FlatIndex split into `mp` equal-shape shards (stacked arrays)."""
+
+    h: int
+    kw: int
+    mp: int
+    e_pad: int                 # entries per shard (padded)
+    max_probes: int
+    max_bucket: int
+    key_words: np.ndarray      # uint32 [mp, e_pad, kw]
+    length: np.ndarray         # int32 [mp, e_pad]
+    rid1: np.ndarray
+    rid2: np.ndarray
+    ucount1: np.ndarray
+    ucount2: np.ndarray
+    table_lo: np.ndarray       # uint32 [mp, T]
+    table_hi: np.ndarray
+    table_start: np.ndarray
+    table_count: np.ndarray
+    orig_id: np.ndarray        # int32 [mp, e_pad] original entry id or -1
+
+
+def shard_flat_index(idx: FlatIndex, mp: int, load_factor: float = 0.5) -> ShardedIndex:
+    """Split bucket-sorted entries into mp contiguous bucket-aligned
+    chunks, rebuild a same-size hash table per shard."""
+    E = idx.num_entries
+    # bucket boundaries in the entry array
+    if E:
+        plo, phi = _entry_prefixes(idx)
+        newb = np.ones(E, dtype=bool)
+        newb[1:] = (plo[1:] != plo[:-1]) | (phi[1:] != phi[:-1])
+        bstart = np.nonzero(newb)[0]
+    else:
+        plo = phi = np.zeros(0, np.uint32)
+        bstart = np.zeros(0, np.int64)
+    nb = len(bstart)
+
+    # contiguous bucket ranges with ~equal entries
+    cuts = [0]
+    for m in range(1, mp):
+        target = E * m // mp
+        bi = int(np.searchsorted(bstart, target, side="left"))
+        cuts.append(int(bstart[bi]) if bi < nb else E)
+    cuts.append(E)
+
+    shards: List[dict] = []
+    e_pad = 1
+    t_size = 8
+    probes = 1
+    maxb = 1
+    for m in range(mp):
+        lo, hi = cuts[m], cuts[m + 1]
+        cnt = hi - lo
+        e_pad = max(e_pad, cnt)
+        shards.append({"lo": lo, "hi": hi})
+    # shared table size
+    max_buckets = 1
+    for m in range(mp):
+        lo, hi = shards[m]["lo"], shards[m]["hi"]
+        if hi > lo:
+            nb_m = int(np.sum((bstart >= lo) & (bstart < hi)))
+            max_buckets = max(max_buckets, nb_m)
+    while t_size < max_buckets / load_factor:
+        t_size *= 2
+
+    out = ShardedIndex(
+        h=idx.h, kw=idx.kw, mp=mp, e_pad=e_pad,
+        max_probes=1, max_bucket=max(1, idx.max_bucket),
+        key_words=np.zeros((mp, e_pad, idx.kw), np.uint32),
+        length=np.full((mp, e_pad), 1 << 30, np.int32),
+        rid1=np.zeros((mp, e_pad), np.int32),
+        rid2=np.zeros((mp, e_pad), np.int32),
+        ucount1=np.zeros((mp, e_pad), np.int32),
+        ucount2=np.zeros((mp, e_pad), np.int32),
+        table_lo=np.zeros((mp, t_size), np.uint32),
+        table_hi=np.zeros((mp, t_size), np.uint32),
+        table_start=np.full((mp, t_size), -1, np.int32),
+        table_count=np.zeros((mp, t_size), np.int32),
+        orig_id=np.full((mp, e_pad), -1, np.int32),
+    )
+
+    for m in range(mp):
+        lo, hi = shards[m]["lo"], shards[m]["hi"]
+        cnt = hi - lo
+        if cnt == 0:
+            continue
+        out.key_words[m, :cnt] = idx.key_words[lo:hi]
+        out.length[m, :cnt] = idx.length[lo:hi]
+        out.rid1[m, :cnt] = idx.rid1[lo:hi]
+        out.rid2[m, :cnt] = idx.rid2[lo:hi]
+        out.ucount1[m, :cnt] = idx.ucount1[lo:hi]
+        out.ucount2[m, :cnt] = idx.ucount2[lo:hi]
+        out.orig_id[m, :cnt] = np.arange(lo, hi, dtype=np.int32)
+        # local buckets
+        bsel = (bstart >= lo) & (bstart < hi)
+        bs = bstart[bsel] - lo
+        bc = np.diff(np.concatenate([bs, [cnt]]))
+        hv = hash_prefix(plo[bstart[bsel]], phi[bstart[bsel]]).astype(np.int64) & (t_size - 1)
+        occupied = np.zeros(t_size, bool)
+        for k in np.argsort(hv, kind="stable"):
+            slot = int(hv[k])
+            d = 0
+            while occupied[slot]:
+                slot = (slot + 1) & (t_size - 1)
+                d += 1
+            occupied[slot] = True
+            out.table_lo[m, slot] = plo[bstart[bsel][k]]
+            out.table_hi[m, slot] = phi[bstart[bsel][k]]
+            out.table_start[m, slot] = bs[k]
+            out.table_count[m, slot] = bc[k]
+            probes = max(probes, d + 1)
+    out.max_probes = probes
+    return out
+
+
+def _entry_prefixes(idx: FlatIndex) -> Tuple[np.ndarray, np.ndarray]:
+    from ..index.table import _prefix_lo_hi
+
+    return _prefix_lo_hi(idx.key_words, idx.h)
+
+
+def _local_didx(sh, h, kw, max_probes, max_bucket):
+    """Build a DeviceIndex view from a shard's (leading-axis-1) blocks."""
+    return DeviceIndex(
+        h=h, kw=kw, max_probes=max_probes, max_bucket=max_bucket,
+        num_entries=int(sh["length"].shape[-1]),
+        table_bits=int(sh["table_start"].shape[-1]).bit_length() - 1,
+        key_words=sh["key_words"][0],
+        length=sh["length"][0],
+        rid1=sh["rid1"][0],
+        rid2=sh["rid2"][0],
+        ucount1=sh["ucount1"][0],
+        ucount2=sh["ucount2"][0],
+        table_lo=sh["table_lo"][0],
+        table_hi=sh["table_hi"][0],
+        table_start=sh["table_start"][0],
+        table_count=sh["table_count"][0],
+    )
+
+
+def _shard_arrays(s: ShardedIndex) -> dict:
+    return {
+        "key_words": s.key_words, "length": s.length,
+        "rid1": s.rid1, "rid2": s.rid2,
+        "ucount1": s.ucount1, "ucount2": s.ucount2,
+        "table_lo": s.table_lo, "table_hi": s.table_hi,
+        "table_start": s.table_start, "table_count": s.table_count,
+    }
+
+
+class DistQuerySession:
+    """Distributed classify over a ('data', 'model') mesh."""
+
+    def __init__(
+        self,
+        mesh,
+        index_u: FlatIndex,
+        index_d: Optional[FlatIndex],
+        num_genome_slots: int,
+        sc_mode: bool = False,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.G = num_genome_slots
+        mp = mesh.shape["model"]
+        dp = mesh.shape["data"]
+        self.mp, self.dp = mp, dp
+        self.sc_mode = sc_mode
+
+        if index_d is None:
+            from ..index.sparsify import SelectedSubstrings
+            from ..index.table import build_flat_index
+
+            index_d = build_flat_index(
+                np.zeros(1, np.uint8),
+                SelectedSubstrings(
+                    start=np.zeros(0, np.int64), length=np.zeros(0, np.int64),
+                    rid=np.zeros(0, np.int64), occ=np.zeros(0, np.int64),
+                    rid2=np.zeros(0, np.int64), occ2=np.zeros(0, np.int64),
+                    ulm_count=np.zeros(0, np.int64),
+                ),
+                index_u.h, 32, True,
+            )
+        self.su = shard_flat_index(index_u, mp)
+        self.sd = shard_flat_index(index_d, mp)
+        self.index_u, self.index_d = index_u, index_d
+
+        su, sd = self.su, self.sd
+        G = num_genome_slots
+        sc = sc_mode
+        Eu_pad, Ed_pad = su.e_pad, sd.e_pad
+
+        def local_fn(u_arrays, d_arrays, codes, lengths):
+            m = jax.lax.axis_index("model")
+            didx_u = _local_didx(u_arrays, su.h, su.kw, su.max_probes, su.max_bucket)
+            didx_d = _local_didx(d_arrays, sd.h, sd.kw, sd.max_probes, sd.max_bucket)
+            u_base = m * Eu_pad
+            d_base = mp * Eu_pad + m * Ed_pad
+            ms = collect_matches(didx_u, didx_d, codes, lengths,
+                                 u_base=u_base, d_base=d_base)
+            # gather match slots across index shards
+            def gather(x):
+                g = jax.lax.all_gather(x, "model", axis=1, tiled=True)
+                return g
+
+            ms_full = MatchSlots(*(gather(x) for x in ms))
+            case = case_analysis(ms_full, lengths, G, sc_mode=sc)
+            cnts_u = jax.lax.psum(case.cnts_u, "data")
+            cnts_d = jax.lax.psum(case.cnts_d, "data")
+            nundet = jax.lax.psum(case.nundet, "data")
+            nconf = jax.lax.psum(case.nconf, "data")
+            rcu = jax.lax.psum(rcounts_from_case(case, u_base, Eu_pad), "data")
+            rcd = jax.lax.psum(rcounts_from_case(case, d_base, Ed_pad), "data")
+            # counts are replicated along 'model' by construction; make the
+            # replication explicit for shard_map's rep checker
+            cnts_u = jax.lax.psum(cnts_u, "model") // mp
+            cnts_d = jax.lax.psum(cnts_d, "model") // mp
+            nundet = jax.lax.psum(nundet, "model") // mp
+            nconf = jax.lax.psum(nconf, "model") // mp
+            return (cnts_u, cnts_d, rcu, rcd, nundet, nconf,
+                    case.pair_lo, case.pair_hi)
+
+        spec_u = {k: P("model") for k in _shard_arrays(su)}
+        spec_d = dict(spec_u)
+        fn = shard_map_fn(
+            self.mesh, local_fn,
+            in_specs=(spec_u, spec_d, P("data", None), P("data")),
+            out_specs=(P(), P(), P("model"), P("model"), P(), P(),
+                       P("data"), P("data")),
+        )
+        self._fn = jax.jit(fn)
+        self._u_arrays = jax.device_put(
+            _shard_arrays(su),
+            {k: NamedSharding(mesh, P("model")) for k in _shard_arrays(su)},
+        )
+        self._d_arrays = jax.device_put(
+            _shard_arrays(sd),
+            {k: NamedSharding(mesh, P("model")) for k in _shard_arrays(sd)},
+        )
+
+    def classify(self, codes: np.ndarray, lengths: np.ndarray) -> BatchCounts:
+        """codes [B, Lp] with B divisible by dp.  Returns host BatchCounts
+        with rcounts mapped back to original entry order."""
+        import jax.numpy as jnp
+
+        out = self._fn(self._u_arrays, self._d_arrays,
+                       jnp.asarray(codes), jnp.asarray(lengths))
+        cnts_u, cnts_d, rcu, rcd, nundet, nconf, pair_lo, pair_hi = out
+        rcu = np.asarray(rcu).reshape(self.mp, self.su.e_pad)
+        rcd = np.asarray(rcd).reshape(self.mp, self.sd.e_pad)
+        rcount_u = np.zeros(self.index_u.num_entries, np.int64)
+        rcount_d = np.zeros(self.index_d.num_entries, np.int64)
+        sel = self.su.orig_id >= 0
+        rcount_u[self.su.orig_id[sel]] = rcu[sel]
+        seld = self.sd.orig_id >= 0
+        rcount_d[self.sd.orig_id[seld]] = rcd[seld]
+        return BatchCounts(
+            cnts_u=np.asarray(cnts_u), cnts_d=np.asarray(cnts_d),
+            rcount_u=rcount_u, rcount_d=rcount_d,
+            nundet=int(nundet), nconf=int(nconf),
+            pair_lo=np.asarray(pair_lo), pair_hi=np.asarray(pair_hi),
+        )

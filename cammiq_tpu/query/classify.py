@@ -16,9 +16,16 @@ genome pairs; the case analysis then assigns the read:
         U==0, P>=2 -> I = intersection of all pairs (subset of the first
                       pair); |I|==1 -> cnts_d[i*]++ (+rcounts) else conflict
 
-All reductions are per-read masked ops on fixed-size match-slot arrays, so
-the whole classifier jits to one fused XLA program and shard_maps over the
-read batch across the mesh.
+The classifier is split in two stages so the index-sharded distributed
+path can all_gather stage-1 match slots across the 'model' mesh axis
+before the per-read reductions:
+
+  collect_matches: probe both tables on both strands -> per-read slot
+                   arrays (global entry id, rid1, rid2)
+  case_analysis:   per-read masked reductions -> counts + assign flags
+
+All ops are fixed-shape, so the whole thing jits into one fused XLA
+program and shard_maps over the read batch.
 """
 
 from __future__ import annotations
@@ -33,13 +40,22 @@ from .probe import DeviceIndex, pack_rolling16, probe_strand
 BIG = np.int32(2**31 - 1)
 
 
+class MatchSlots(NamedTuple):
+    """Per-read match slots.  slot id = global entry id or BIG (empty)."""
+
+    slots: Any        # int32 [B, S] global entry ids, BIG = empty
+    rid1: Any         # int32 [B, S]
+    rid2: Any         # int32 [B, S]
+    in_u: Any         # bool [B, S]: slot belongs to the unique table
+
+
 class BatchCounts(NamedTuple):
     """Device pytree of per-batch classification results."""
 
     cnts_u: Any        # int32 [G] read_cnts_u per species id (index = id)
     cnts_d: Any        # int32 [G]
     rcount_u: Any      # int32 [Eu] per unique-index entry
-    rcount_d: Any      # int32 [Ed] per doubly-index entry
+    rcount_d: Any      # int32 [Ed]
     nundet: Any        # int32 []
     nconf: Any         # int32 []
     pair_lo: Any       # int32 [B] assigned pair (sc accounting) or -1
@@ -59,8 +75,68 @@ def revcomp_batch(codes, lengths):
     return jnp.where(valid, 3 - g, 0).astype(codes.dtype)
 
 
+def collect_matches(
+    didx_u: DeviceIndex,
+    didx_d: DeviceIndex,
+    codes,
+    lengths,
+    u_base: int = 0,
+    d_base: int | None = None,
+):
+    """Probe both tables on both strands.
+
+    Global entry ids: unique entries map to [u_base, u_base+Eu), doubly to
+    [d_base, d_base+Ed); d_base defaults to Eu (single-device layout).
+    Returns MatchSlots with S = 4 * (Lp - h + 1).
+    """
+    import jax.numpy as jnp
+
+    B, Lp = codes.shape
+    h = didx_u.h
+    O = max(Lp - h + 1, 1)
+    offsets = jnp.arange(O, dtype=jnp.int32)
+    Eu = didx_u.length.shape[0]
+    Ed = didx_d.length.shape[0]
+    if d_base is None:
+        d_base = u_base + Eu
+
+    rc = revcomp_batch(codes, lengths)
+    eids = []
+    for strand_codes in (codes, rc):
+        p16 = pack_rolling16(strand_codes)
+        for didx in (didx_u, didx_d):
+            eids.append(probe_strand(didx, p16, lengths, offsets))
+
+    m_u = jnp.concatenate([eids[0], eids[2]], axis=1)
+    m_d = jnp.concatenate([eids[1], eids[3]], axis=1)
+    lu = jnp.clip(m_u, 0, Eu - 1)
+    ld = jnp.clip(m_d, 0, Ed - 1)
+    hit_u = m_u >= 0
+    hit_d = m_d >= 0
+    ub = jnp.asarray(u_base, jnp.int32)
+    db = jnp.asarray(d_base, jnp.int32)
+    slots = jnp.concatenate(
+        [
+            jnp.where(hit_u, m_u + ub, BIG),
+            jnp.where(hit_d, m_d + db, BIG),
+        ],
+        axis=1,
+    )
+    rid1 = jnp.concatenate(
+        [jnp.where(hit_u, didx_u.rid1[lu], 0), jnp.where(hit_d, didx_d.rid1[ld], 0)],
+        axis=1,
+    )
+    rid2 = jnp.concatenate(
+        [jnp.where(hit_u, didx_u.rid2[lu], 0), jnp.where(hit_d, didx_d.rid2[ld], 0)],
+        axis=1,
+    )
+    in_u = jnp.concatenate(
+        [hit_u, jnp.zeros_like(hit_d)], axis=1
+    )
+    return MatchSlots(slots=slots, rid1=rid1, rid2=rid2, in_u=in_u)
+
+
 def _first_true_value(mask, values, fill):
-    """values at the first True of mask along the last axis, else fill."""
     import jax.numpy as jnp
 
     idx = jnp.argmax(mask, axis=-1)
@@ -69,65 +145,37 @@ def _first_true_value(mask, values, fill):
     return jnp.where(any_, got, fill)
 
 
-def classify_batch(
-    didx_u: DeviceIndex,
-    didx_d: DeviceIndex,
-    codes,
-    lengths,
-    num_genome_slots: int,
-    with_rcounts: bool = True,
-    sc_mode: bool = False,
-):
-    """Classify one read batch.  codes int8 [B, Lp]; lengths int32 [B].
+class CaseResult(NamedTuple):
+    cnts_u: Any       # int32 [G]
+    cnts_d: Any       # int32 [G]
+    assigned: Any     # bool [B] (rcount += 1 for matched entries)
+    dslot: Any        # bool [B, S] distinct-entry mask on sorted slots
+    sslots: Any       # int32 [B, S] sorted global slot ids
+    nundet: Any
+    nconf: Any
+    pair_lo: Any
+    pair_hi: Any
 
-    num_genome_slots = max species id + 1 (counts indexed by species id).
-    Returns BatchCounts.
-    """
+
+def case_analysis(ms: MatchSlots, lengths, num_genome_slots: int,
+                  sc_mode: bool = False) -> CaseResult:
+    """The per-read case analysis over (possibly gathered) match slots."""
+    import jax
     import jax.numpy as jnp
 
-    B, Lp = codes.shape
-    h = didx_u.h
-    O = max(Lp - h + 1, 1)
-    offsets = jnp.arange(O, dtype=jnp.int32)
+    slots, rid1_s, rid2_s = ms.slots, ms.rid1, ms.rid2
+    B, S = slots.shape
 
-    rc = revcomp_batch(codes, lengths)
-    eids = []
-    for strand_codes in (codes, rc):
-        p16 = pack_rolling16(strand_codes)
-        for didx in (didx_u, didx_d):
-            eids.append(probe_strand(didx, p16, lengths, offsets))
-    # slots: [B, S] entry ids; table tag: unique -> [0, Eu), doubly -> [Eu, Eu+Ed)
-    Eu = didx_u.length.shape[0]
-    ed_off = jnp.int32(Eu)
-    m_u = jnp.concatenate([eids[0], eids[2]], axis=1)          # [B, 2O]
-    m_d = jnp.concatenate([eids[1], eids[3]], axis=1)
-    slot_u = jnp.where(m_u >= 0, m_u, BIG)
-    slot_d = jnp.where(m_d >= 0, m_d + ed_off, BIG)
-    slots = jnp.concatenate([slot_u, slot_d], axis=1)          # [B, S]
-    S = slots.shape[1]
-
-    # ---- distinct matched entries (the pnode set) ----
-    sslots = jnp.sort(slots, axis=1)
+    # sort by slot id; carry payloads
+    sslots, rid1, rid2 = jax.lax.sort(
+        [slots, rid1_s, rid2_s], dimension=1, num_keys=1
+    )
     valid = sslots < BIG
     firstocc = jnp.concatenate(
         [valid[:, :1], valid[:, 1:] & (sslots[:, 1:] != sslots[:, :-1])], axis=1
     )
-
-    # payload per distinct slot
-    e_local = jnp.where(sslots >= ed_off, sslots - ed_off, sslots)
-    e_local = jnp.where(valid, e_local, 0)
-    is_d = valid & (sslots >= ed_off)
-    rid1 = jnp.where(
-        is_d, didx_d.rid1[jnp.minimum(e_local, didx_d.rid1.shape[0] - 1)],
-        didx_u.rid1[jnp.minimum(e_local, didx_u.rid1.shape[0] - 1)],
-    )
-    rid2 = jnp.where(
-        is_d, didx_d.rid2[jnp.minimum(e_local, didx_d.rid2.shape[0] - 1)],
-        didx_u.rid2[jnp.minimum(e_local, didx_u.rid2.shape[0] - 1)],
-    )
     dslot = valid & firstocc
 
-    # ---- unique-id set and pair set ----
     is_single = dslot & (rid2 == 0)
     is_pair = dslot & (rid2 != 0)
     rid_vals = jnp.where(is_single, rid1, BIG)
@@ -142,8 +190,6 @@ def classify_batch(
 
     plo = jnp.where(is_pair, jnp.minimum(rid1, rid2), BIG)
     phi = jnp.where(is_pair, jnp.maximum(rid1, rid2), BIG)
-    import jax
-
     plo_s, phi_s = jax.lax.sort([plo, phi], dimension=1, num_keys=2)
     pv_valid = plo_s < BIG
     pair_first = jnp.concatenate(
@@ -155,10 +201,9 @@ def classify_batch(
         axis=1,
     )
     P = jnp.sum(pair_first, axis=1).astype(jnp.int32)
-    a1 = _first_true_value(pv_valid, plo_s, BIG)     # first distinct pair
+    a1 = _first_true_value(pv_valid, plo_s, BIG)
     b1 = _first_true_value(pv_valid, phi_s, BIG)
 
-    # pair-membership reductions (over all pair slots == over distinct pairs)
     def all_pairs_contain(x):
         cond = (~is_pair) | (rid1 == x[:, None]) | (rid2 == x[:, None])
         return jnp.all(cond, axis=1)
@@ -167,48 +212,34 @@ def classify_batch(
     in_all_a = all_pairs_contain(a1)
     in_all_b = all_pairs_contain(b1)
 
-    # ---- case analysis ----
     undet = (P == 0) & (U == 0)
     case_u_only = (P == 0) & (U == 1)
     case_ud = (P >= 1) & (U == 1) & pairs_have_rstar
     case_pair = (P == 1) & (U == 0)
-    isect_size = jnp.where(P >= 2, in_all_a.astype(jnp.int32) + in_all_b.astype(jnp.int32), 0)
+    isect_size = jnp.where(
+        P >= 2, in_all_a.astype(jnp.int32) + in_all_b.astype(jnp.int32), 0
+    )
     case_isect = (P >= 2) & (U == 0) & (isect_size == 1)
     istar = jnp.where(in_all_a, a1, b1)
     conf = (~undet) & ~(case_u_only | case_ud | case_pair | case_isect)
     assigned = case_u_only | case_ud | case_pair | case_isect
 
     G = num_genome_slots
-    dump = jnp.int32(G)  # dropped-scatter slot
+    dump = jnp.int32(G)
 
-    def scat(idx, flag, size):
+    def scat(idx, flag):
         tgt = jnp.where(flag, idx, dump)
-        return jnp.zeros(size + 1, jnp.int32).at[tgt].add(1)[:size]
+        return jnp.zeros(G + 1, jnp.int32).at[tgt].add(1)[:G]
 
-    cnts_u = scat(rstar, case_u_only | case_ud, G)
+    cnts_u = scat(rstar, case_u_only | case_ud)
     cnts_d = (
-        scat(rstar, case_ud, G)
-        + scat(a1, case_pair, G)
-        + scat(b1, case_pair, G)
-        + scat(istar, case_isect, G)
+        scat(rstar, case_ud)
+        + scat(a1, case_pair)
+        + scat(b1, case_pair)
+        + scat(istar, case_isect)
     )
 
-    if with_rcounts:
-        # rcount += 1 for every distinct matched entry of assigned reads
-        rslots = jnp.where(dslot & assigned[:, None], sslots, BIG)
-        flat = rslots.reshape(-1)
-        in_u = flat < ed_off
-        tgt_u = jnp.where(in_u, flat, Eu)
-        rcount_u = jnp.zeros(Eu + 1, jnp.int32).at[tgt_u].add(1)[:Eu]
-        Ed = didx_d.length.shape[0]
-        in_d = (flat >= ed_off) & (flat < BIG)
-        tgt_d = jnp.where(in_d, flat - ed_off, Ed)
-        rcount_d = jnp.zeros(Ed + 1, jnp.int32).at[tgt_d].add(1)[:Ed]
-    else:
-        rcount_u = jnp.zeros(Eu, jnp.int32)
-        rcount_d = jnp.zeros(didx_d.length.shape[0], jnp.int32)
-
-    real = lengths > 0  # padded rows have length 0 -> excluded everywhere
+    real = lengths > 0
     nundet = jnp.sum(undet & real).astype(jnp.int32)
     nconf = jnp.sum(conf & real).astype(jnp.int32)
 
@@ -219,9 +250,52 @@ def classify_batch(
         pair_lo = jnp.full((B,), -1, jnp.int32)
         pair_hi = jnp.full((B,), -1, jnp.int32)
 
+    return CaseResult(
+        cnts_u=cnts_u, cnts_d=cnts_d, assigned=assigned,
+        dslot=dslot, sslots=sslots,
+        nundet=nundet, nconf=nconf, pair_lo=pair_lo, pair_hi=pair_hi,
+    )
+
+
+def rcounts_from_case(case: CaseResult, lo, size: int):
+    """rcount[e] = #assigned reads whose distinct match set contains global
+    entry id lo + e, for e in [0, size) (an index shard's id range).
+    `size` must be static; `lo` may be traced (mesh-position dependent)."""
+    import jax.numpy as jnp
+
+    lo = jnp.asarray(lo, jnp.int32)
+    rslots = jnp.where(case.dslot & case.assigned[:, None], case.sslots, BIG)
+    flat = rslots.reshape(-1)
+    inr = (flat >= lo) & (flat < lo + size)
+    tgt = jnp.where(inr, flat - lo, size)
+    return jnp.zeros(size + 1, jnp.int32).at[tgt].add(1)[:size]
+
+
+def classify_batch(
+    didx_u: DeviceIndex,
+    didx_d: DeviceIndex,
+    codes,
+    lengths,
+    num_genome_slots: int,
+    with_rcounts: bool = True,
+    sc_mode: bool = False,
+) -> BatchCounts:
+    """Single-device classification of one read batch."""
+    import jax.numpy as jnp
+
+    Eu = didx_u.length.shape[0]
+    Ed = didx_d.length.shape[0]
+    ms = collect_matches(didx_u, didx_d, codes, lengths)
+    case = case_analysis(ms, lengths, num_genome_slots, sc_mode=sc_mode)
+    if with_rcounts:
+        rcount_u = rcounts_from_case(case, 0, Eu)
+        rcount_d = rcounts_from_case(case, Eu, Ed)
+    else:
+        rcount_u = jnp.zeros(Eu, jnp.int32)
+        rcount_d = jnp.zeros(Ed, jnp.int32)
     return BatchCounts(
-        cnts_u=cnts_u, cnts_d=cnts_d,
+        cnts_u=case.cnts_u, cnts_d=case.cnts_d,
         rcount_u=rcount_u, rcount_d=rcount_d,
-        nundet=nundet, nconf=nconf,
-        pair_lo=pair_lo, pair_hi=pair_hi,
+        nundet=case.nundet, nconf=case.nconf,
+        pair_lo=case.pair_lo, pair_hi=case.pair_hi,
     )

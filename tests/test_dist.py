@@ -1,0 +1,80 @@
+"""Distributed query on an emulated 8-device CPU mesh: results must match
+the single-device classifier exactly under every (data, model) layout."""
+
+import numpy as np
+import pytest
+
+from cammiq_tpu.config import BuildConfig, QueryConfig
+from cammiq_tpu.index.builder import build_index
+from cammiq_tpu.io.fasta import corpus_from_sequences
+from cammiq_tpu.io.fastq import reads_from_arrays
+from cammiq_tpu.parallel.dist_query import DistQuerySession, shard_flat_index
+from cammiq_tpu.parallel.mesh import make_mesh
+from cammiq_tpu.query.pipeline import QuerySession
+
+ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(5)
+    length = 400
+    shared = rng.integers(0, 4, size=150)
+    genomes = []
+    for g in range(4):
+        own = rng.integers(0, 4, size=length)
+        ins = int(rng.integers(0, length - 150))
+        seq = np.concatenate([own[:ins], shared, own[ins:]])
+        genomes.append([ALPHA[seq].tobytes()])
+    corpus = corpus_from_sequences(genomes)
+    cfg = BuildConfig(k=12, L=60, Lmax=30, h=12, mode="both")
+    art = build_index(corpus, cfg, engine="numpy")
+    reads = []
+    for _ in range(256):
+        g = int(rng.integers(0, 4))
+        c = genomes[g][0]
+        p = int(rng.integers(0, len(c) - 60))
+        r = c[p : p + 60]
+        if rng.random() < 0.5:
+            comp = {65: 84, 67: 71, 71: 67, 84: 65}
+            r = bytes(comp[b] for b in reversed(r))
+        reads.append(r)
+    rs = reads_from_arrays(reads, max_len=64)
+    G = int(corpus.ref_id.max()) + 1
+    sess = QuerySession(art.unique_index, art.doubly_index, G,
+                        QueryConfig(h=12, batch_size=256))
+    ref_counts = sess.run(rs, sc_mode=False)
+    ref_sc = sess.run(rs, sc_mode=True)
+    return art, rs, G, ref_counts, ref_sc
+
+
+def test_shard_roundtrip(setup):
+    art, rs, G, ref, ref_sc = setup
+    sh = shard_flat_index(art.unique_index, 4)
+    ids = sh.orig_id[sh.orig_id >= 0]
+    assert sorted(ids.tolist()) == list(range(art.unique_index.num_entries))
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)])
+def test_dist_matches_single(setup, dp, mp):
+    import jax
+
+    art, rs, G, ref, ref_sc = setup
+    if dp * mp > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = make_mesh(dp, mp)
+    ds = DistQuerySession(mesh, art.unique_index, art.doubly_index, G,
+                          sc_mode=True)
+    out = ds.classify(rs.codes, rs.lengths)
+    np.testing.assert_array_equal(out.cnts_u, ref.cnts_u)
+    np.testing.assert_array_equal(out.cnts_d, ref.cnts_d)
+    np.testing.assert_array_equal(out.rcount_u, ref.rcount_u)
+    np.testing.assert_array_equal(out.rcount_d, ref.rcount_d)
+    assert out.nundet == ref.nundet
+    assert out.nconf == ref.nconf
+    # pair accounting matches the single-device sc run
+    lo, hi = np.asarray(out.pair_lo), np.asarray(out.pair_hi)
+    got_pairs = {}
+    for a, b in zip(lo[lo >= 0], hi[lo >= 0]):
+        got_pairs[(int(a), int(b))] = got_pairs.get((int(a), int(b)), 0) + 1
+    assert got_pairs == ref_sc.pair_counts
