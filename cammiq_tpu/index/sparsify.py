@@ -65,6 +65,31 @@ def select_substrings(
     gsa2_text: Optional[np.ndarray] = None,
     occ2: Optional[np.ndarray] = None,
     num_groups: int = 1,
+    engine: str = "fast",
+) -> SelectedSubstrings:
+    """Sparsified selection; engine='fast' uses the vectorized path
+    (identical output, see select_substrings_fast), 'exact' the scalar
+    reference transcription."""
+    if engine == "fast":
+        return select_substrings_fast(
+            corpus, mu, occ, L, Lmax, gsa2_text=gsa2_text, occ2=occ2,
+            num_groups=num_groups,
+        )
+    return select_substrings_exact(
+        corpus, mu, occ, L, Lmax, gsa2_text=gsa2_text, occ2=occ2,
+        num_groups=num_groups,
+    )
+
+
+def select_substrings_exact(
+    corpus: Corpus,
+    mu: np.ndarray,
+    occ: np.ndarray,
+    L: int,
+    Lmax: int,
+    gsa2_text: Optional[np.ndarray] = None,
+    occ2: Optional[np.ndarray] = None,
+    num_groups: int = 1,
 ) -> SelectedSubstrings:
     """Reference-exact sequential engine (src/build.cpp:336-629).
 
@@ -175,5 +200,211 @@ def select_substrings(
         occ=np.asarray(out_occ, dtype=np.int64),
         rid2=np.asarray(out_rid2, dtype=np.int64),
         occ2=np.asarray(out_occ2, dtype=np.int64),
+        ulm_count=ulm,
+    )
+
+
+def select_substrings_fast(
+    corpus: Corpus,
+    mu: np.ndarray,
+    occ: np.ndarray,
+    L: int,
+    Lmax: int,
+    gsa2_text: Optional[np.ndarray] = None,
+    occ2: Optional[np.ndarray] = None,
+    num_groups: int = 1,
+) -> SelectedSubstrings:
+    """Vectorized engine, output-identical to select_substrings_exact.
+
+    Key observations that remove the sequential state:
+    - the candidate's contig/genome context is stateless:
+      ci(i) = first c with i < contig_pos[c] - 4 (the while-advance fixed
+      point), ri(i) likewise on ref_pos;
+    - the validity filters (contig span / non-ACGT / length) are pure
+      per-candidate predicates;
+    - the greedy covering inserts form a jump chain driven only by
+      (start_, previous candidate), walked with searchsorted per INSERT
+      (#inserts ~ n/L);
+    - the unique-L-mer contribution of a non-boundary candidate is
+      min(j_p - j_{p-1}, j_p + L - i_p); only boundary-crossing candidates
+      (#contigs many) need the scalar while-loop replay for the start
+      resets, corrections and exist_unique flags.
+    """
+    contig_pos = corpus.contig_pos.astype(np.int64)
+    ref_pos = corpus.ref_pos.astype(np.int64)
+    ref_id = corpus.ref_id.astype(np.int64)
+    seq = corpus.seq
+    M = len(ref_pos)
+    C = len(contig_pos)
+    num_groups = max(1, min(num_groups, 4, M))
+    doubly = gsa2_text is not None
+
+    acgt = _is_acgt(seq)
+    acgt_cum = np.concatenate([[0], np.cumsum(acgt.astype(np.int64))])
+
+    mu = np.asarray(mu)
+    n = int(ref_pos[-1])
+    cand_all = np.nonzero(mu[:n] != MU_EMPTY)[0]
+    cand_all = cand_all[cand_all >= 1]
+
+    ulm = np.zeros(M, dtype=np.int64)
+    exist_unique = np.ones(C, dtype=bool)
+    sel_start: List[np.ndarray] = []
+    sel_len: List[np.ndarray] = []
+    sel_ri: List[np.ndarray] = []
+
+    cp4 = contig_pos - 4
+    rp4 = ref_pos - 4
+    nref = M // num_groups
+
+    for tid in range(num_groups):
+        i0 = 1 if tid == 0 else int(ref_pos[tid * nref - 1])
+        nexti = n if tid == num_groups - 1 else int(ref_pos[(tid + 1) * nref - 1])
+        lo = int(np.searchsorted(cand_all, i0, side="left"))
+        hi = int(np.searchsorted(cand_all, nexti, side="left"))
+        iv = cand_all[lo:hi]
+        if iv.size == 0:
+            continue
+        jv = iv - mu[iv]
+
+        # stateless contig/genome context AFTER boundary processing
+        ci_s = np.searchsorted(cp4, iv, side="right")
+        ri_s = np.searchsorted(rp4, iv, side="right")
+        # candidates that would run the group off the contig table stop
+        # the group (reference: break when ci >= C)
+        stop = ci_s >= C
+        if stop.any():
+            # everything from the first stopping candidate on is dropped
+            # after its boundary replay; find cutoff
+            cut = int(np.argmax(stop))
+        else:
+            cut = iv.size
+
+        # ---- validity filters ----
+        prev_cp = np.where(ci_s > 0, contig_pos[np.maximum(ci_s - 1, 0)], 0)
+        ok_span = ~((ci_s > 0) & (jv - 1 < prev_cp))
+        ok_acgt = (acgt_cum[iv] - acgt_cum[jv - 1]) == (iv - (jv - 1))
+        lv = iv - jv + 1
+        ok_len = lv <= Lmax
+        valid = ok_span & ok_acgt & ok_len
+        valid[cut:] = False
+
+        vi = iv[valid]
+        vj = jv[valid]
+        vl = lv[valid]
+        vri = ri_s[valid]
+        # the candidate at the stop boundary also runs its replay; keep
+        # boundary replay over the full pre-cut candidate list below.
+
+        # ---- greedy covering inserts (jump chain over valid candidates) ----
+        P = vi.size
+        start_ = 0
+        p_prev = -1
+        picks = []
+        while True:
+            p = int(np.searchsorted(vi, start_ + L, side="right"))
+            p = max(p, p_prev + 1)
+            if p >= P:
+                break
+            if p >= 1:
+                picks.append(p - 1)
+                start_ = int(vj[p - 1])
+            p_prev = p
+        if picks:
+            pk = np.asarray(picks, dtype=np.int64)
+            sel_start.append(vj[pk] - 1)
+            sel_len.append(vl[pk])
+            sel_ri.append(vri[pk])
+
+        # ---- unique-L-mer aggregation ----
+        # NOTE: boundary processing happens for every candidate (valid or
+        # not) in the reference; an invalid candidate can advance ci and
+        # reset start.  Track context from the full candidate list:
+        ci_init = int(np.searchsorted(contig_pos, i0, side="right"))
+        ci_prev_full = np.empty(iv.size, dtype=np.int64)
+        ci_prev_full[0] = ci_init
+        ci_prev_full[1:] = ci_s[:-1]
+        crossed_full = ci_s > ci_prev_full
+
+        # start_prev for each valid candidate:
+        #   no boundary since previous VALID candidate -> j of previous
+        #   valid candidate in the same "no-crossing span"... but an
+        #   invalid candidate between them may have crossed a boundary and
+        #   reset start.  Handle by tracking the last start-reset event
+        #   index over the full candidate list.
+        idx_full = np.arange(iv.size)
+        reset_at = np.where(crossed_full, idx_full, -1)
+        last_reset = np.maximum.accumulate(reset_at)
+        # start value established by a reset at full-candidate q:
+        # max(contig_pos[ci_s[q]-1], iv[q]-L)
+        reset_start = np.maximum(
+            np.where(ci_s > 0, contig_pos[np.maximum(ci_s - 1, 0)], 0),
+            iv - L,
+        )
+        # previous valid candidate (full index) per valid candidate
+        valid_idx_full = idx_full[valid]
+        if P > 0:
+            prev_valid_full = np.concatenate([[-1], valid_idx_full[:-1]])
+            lr = last_reset[valid_idx_full]
+            use_reset = lr > prev_valid_full
+            prev_j = np.concatenate([[0], vj[:-1]])
+            start_prev = np.where(use_reset, reset_start[np.maximum(lr, 0)], prev_j)
+            contrib = np.minimum(vj - start_prev, vj + L - vi)
+            np.add.at(ulm, vri, contrib)
+
+        # ---- boundary replay: corrections + exist_unique flags ----
+        # replay the while-loop for each boundary-crossing candidate
+        # the reference subtracts from uLmcount[ri == lastr ? ri : lastr],
+        # which is always lastr: the genome of the last valid candidate
+        cross_idx = idx_full[crossed_full]
+        cross_idx = cross_idx[cross_idx <= cut]
+        if cross_idx.size:
+            for q in cross_idx:
+                i = int(iv[q])
+                pv = int(np.searchsorted(valid_idx_full, q) - 1)
+                # start value before this candidate's boundary block
+                lrq = int(last_reset[q - 1]) if q > 0 else -1
+                if pv >= 0 and lrq <= int(valid_idx_full[pv]):
+                    start = int(vj[pv])
+                elif lrq >= 0:
+                    start = int(reset_start[lrq])
+                else:
+                    start = 0
+                ci = int(ci_prev_full[q])
+                lastr = int(vri[pv]) if pv >= 0 else tid * nref
+                while ci < C and i >= contig_pos[ci] - 4:
+                    if start + L + 2 >= contig_pos[ci] and exist_unique[ci]:
+                        ulm[lastr] -= start + L + 3 - int(contig_pos[ci])
+                    start = max(int(contig_pos[ci]), i - L)
+                    ci += 1
+                    if ci >= C:
+                        break
+                    if start + L + 2 >= contig_pos[ci]:
+                        exist_unique[ci] = False
+
+    if sel_start:
+        starts = np.concatenate(sel_start)
+        lens = np.concatenate(sel_len)
+        ris = np.concatenate(sel_ri)
+    else:
+        starts = np.zeros(0, np.int64)
+        lens = np.zeros(0, np.int64)
+        ris = np.zeros(0, np.int64)
+
+    occ_sel = occ[starts] if starts.size else np.zeros(0, np.int64)
+    if doubly:
+        rid2_sel = gsa2_text[starts] if starts.size else np.zeros(0, np.int64)
+        occ2_sel = occ2[starts] if starts.size else np.zeros(0, np.int64)
+    else:
+        rid2_sel = np.zeros(starts.size, np.int64)
+        occ2_sel = np.zeros(starts.size, np.int64)
+
+    return SelectedSubstrings(
+        start=starts.astype(np.int64),
+        length=lens.astype(np.int64),
+        rid=ref_id[ris],
+        occ=np.asarray(occ_sel, dtype=np.int64),
+        rid2=np.asarray(rid2_sel, dtype=np.int64),
+        occ2=np.asarray(occ2_sel, dtype=np.int64),
         ulm_count=ulm,
     )
