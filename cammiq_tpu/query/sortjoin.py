@@ -1,0 +1,373 @@
+"""Sort-join probe: the hot loop restructured around lax.sort.
+
+The baseline probe (probe.py) does O(max_probes + max_bucket * kw) random
+gathers per (read, offset, strand, table) - gathers are the slowest
+primitive on TPU.  This engine replaces the hash-table lookup with a
+sort-merge join, TPU's fastest primitive:
+
+1. both tables' entries are merged host-side into one bucket list keyed by
+   the h-base prefix (entries keep a u/d tag);
+2. per batch, all probe prefixes (2 strands x offsets) are concatenated
+   with the table's unique prefixes and sorted together (lax.sort,
+   radix-friendly int keys); a first-of-run associative scan propagates
+   each bucket's (start, count) onto the probe rows with an equal prefix -
+   zero gathers, exact (no false positives);
+3. probe rows that joined a bucket are compacted to a fixed capacity K
+   (cumsum + scatter), so the masked-compare bucket scan does its gathers
+   on ~hit-rate * N positions instead of N;
+4. matches are assembled into per-read distinct slot arrays [B, MAXM]
+   (sort by (read, entry) + segmented rank), feeding the unchanged case
+   analysis.
+
+Exactness matches probe.py: a probe matches an entry iff the entry lies
+fully inside the read and every base agrees; at most one entry per table
+can match a given offset (prefix-freeness per table).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from ..index.table import FlatIndex, _prefix_lo_hi
+from .classify import BIG, MatchSlots, revcomp_batch
+from .probe import pack_rolling16
+
+
+@dataclasses.dataclass
+class MergedIndex:
+    """Both tables merged into one bucket list (host numpy)."""
+
+    h: int
+    kw: int
+    eu: int                   # unique-table entry count (global id base)
+    ed: int
+    max_bucket: int
+    # merged entries, bucket-sorted
+    key_words: np.ndarray     # uint32 [E, kw]
+    length: np.ndarray        # int32 [E]
+    rid1: np.ndarray          # int32 [E]
+    rid2: np.ndarray          # int32 [E]
+    gid: np.ndarray           # int32 [E] global id (u: [0,Eu), d: [Eu,Eu+Ed))
+    is_d: np.ndarray          # bool [E]
+    # unique prefixes (sorted by (hi, lo)) with bucket ranges
+    pref_lo: np.ndarray       # uint32 [NB]
+    pref_hi: np.ndarray       # uint32 [NB]
+    bucket_start: np.ndarray  # int32 [NB]
+    bucket_count: np.ndarray  # int32 [NB]
+
+
+def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> MergedIndex:
+    h, kw = index_u.h, index_u.kw
+    eu = index_u.num_entries
+    if index_d is not None and index_d.num_entries:
+        if index_d.h != h:
+            raise ValueError("unique/doubly hash lengths must match")
+        kwd = index_d.kw
+        kw = max(kw, kwd)
+
+        def pad(wds, k):
+            if wds.shape[1] == k:
+                return wds
+            return np.concatenate(
+                [wds, np.zeros((wds.shape[0], k - wds.shape[1]), np.uint32)], axis=1
+            )
+
+        key_words = np.concatenate([pad(index_u.key_words, kw), pad(index_d.key_words, kw)])
+        length = np.concatenate([index_u.length, index_d.length])
+        rid1 = np.concatenate([index_u.rid1, index_d.rid1])
+        rid2 = np.concatenate([index_u.rid2, index_d.rid2])
+        ed = index_d.num_entries
+        is_d = np.concatenate([np.zeros(eu, bool), np.ones(ed, bool)])
+    else:
+        key_words = index_u.key_words
+        length = index_u.length
+        rid1, rid2 = index_u.rid1, index_u.rid2
+        ed = 0
+        is_d = np.zeros(eu, bool)
+    gid = np.arange(eu + ed, dtype=np.int32)
+
+    E = length.shape[0]
+    if E == 0:
+        return MergedIndex(
+            h=h, kw=kw, eu=eu, ed=ed, max_bucket=1,
+            key_words=np.zeros((1, kw), np.uint32),
+            length=np.full(1, 1 << 30, np.int32),
+            rid1=np.zeros(1, np.int32), rid2=np.zeros(1, np.int32),
+            gid=np.zeros(1, np.int32), is_d=np.zeros(1, bool),
+            pref_lo=np.zeros(1, np.uint32), pref_hi=np.zeros(1, np.uint32),
+            bucket_start=np.zeros(1, np.int32), bucket_count=np.zeros(1, np.int32),
+        )
+
+    plo, phi = _prefix_lo_hi(key_words, h)
+    order = np.lexsort((length, plo, phi))
+    key_words = key_words[order]
+    length = length[order]
+    rid1, rid2 = rid1[order], rid2[order]
+    gid, is_d = gid[order], is_d[order]
+    plo, phi = plo[order], phi[order]
+    newb = np.ones(E, bool)
+    newb[1:] = (plo[1:] != plo[:-1]) | (phi[1:] != phi[:-1])
+    bstart = np.nonzero(newb)[0]
+    bcount = np.diff(np.concatenate([bstart, [E]]))
+    return MergedIndex(
+        h=h, kw=kw, eu=eu, ed=ed, max_bucket=int(bcount.max()),
+        key_words=key_words.astype(np.uint32),
+        length=length.astype(np.int32),
+        rid1=rid1.astype(np.int32), rid2=rid2.astype(np.int32),
+        gid=gid.astype(np.int32), is_d=is_d,
+        pref_lo=plo[bstart].astype(np.uint32), pref_hi=phi[bstart].astype(np.uint32),
+        bucket_start=bstart.astype(np.int32), bucket_count=bcount.astype(np.int32),
+    )
+
+
+@dataclasses.dataclass
+class DeviceMergedIndex:
+    h: int
+    kw: int
+    eu: int
+    ed: int
+    max_bucket: int
+    key_words: Any
+    length: Any
+    rid1: Any
+    rid2: Any
+    gid: Any
+    is_d: Any
+    pref_lo: Any
+    pref_hi: Any
+    bucket_start: Any
+    bucket_count: Any
+
+
+def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
+    import jax.numpy as jnp
+
+    return DeviceMergedIndex(
+        h=m.h, kw=m.kw, eu=m.eu, ed=m.ed, max_bucket=m.max_bucket,
+        key_words=jnp.asarray(m.key_words),
+        length=jnp.asarray(m.length),
+        rid1=jnp.asarray(m.rid1), rid2=jnp.asarray(m.rid2),
+        gid=jnp.asarray(m.gid), is_d=jnp.asarray(m.is_d),
+        pref_lo=jnp.asarray(m.pref_lo), pref_hi=jnp.asarray(m.pref_hi),
+        bucket_start=jnp.asarray(m.bucket_start),
+        bucket_count=jnp.asarray(m.bucket_count),
+    )
+
+
+def _first_of_run_scan(is_start, *values):
+    """Propagate the value at each run start over the run.  values are
+    int32 arrays; returns propagated arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    flags = is_start.astype(jnp.int32)
+
+    def op(a, b):
+        af, *avals = a
+        bf, *bvals = b
+        f = jnp.maximum(af, bf)
+        outs = [jnp.where(bf > 0, bv, av) for av, bv in zip(avals, bvals)]
+        return (f, *outs)
+
+    init = (flags, *values)
+    out = jax.lax.associative_scan(op, init)
+    return out[1:]
+
+
+def collect_matches_sortjoin(
+    dm: DeviceMergedIndex,
+    codes,
+    lengths,
+    hit_capacity_frac: int = 8,
+    maxm: int = 64,
+):
+    """MatchSlots [B, maxm] via the sort-join probe.
+
+    hit_capacity_frac: K = N // frac compacted probe capacity.
+    Also returns (overflow_hits, overflow_slots) diagnostics.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, Lp = codes.shape
+    h, kw = dm.h, dm.kw
+    O = max(Lp - h + 1, 1)
+    NB = dm.pref_lo.shape[0]
+
+    # ---- both strands stacked: [2B, Lp]
+    rc = revcomp_batch(codes, lengths)
+    codes2 = jnp.concatenate([codes, rc], axis=0)
+    lengths2 = jnp.concatenate([lengths, lengths], axis=0)
+    p16 = pack_rolling16(codes2)                      # [2B, Lp] uint32
+
+    def window_word(w):
+        start = 16 * w
+        if start >= Lp:
+            return jnp.zeros((2 * B, O), jnp.uint32)
+        sl = p16[:, start:]
+        if sl.shape[1] < O:
+            sl = jnp.concatenate(
+                [sl, jnp.zeros((2 * B, O - sl.shape[1]), jnp.uint32)], axis=1
+            )
+        return sl[:, :O]
+
+    W0 = window_word(0)
+    W1 = window_word(1)
+    nb0 = min(h, 16)
+    m0 = jnp.uint32(0xFFFFFFFF if nb0 >= 16 else (1 << (2 * nb0)) - 1)
+    if h > 16:
+        nb1 = h - 16
+        m1 = jnp.uint32(0xFFFFFFFF if nb1 >= 16 else (1 << (2 * nb1)) - 1)
+        khi = (W1 & m1).reshape(-1)
+    else:
+        khi = jnp.zeros((2 * B * O,), jnp.uint32)
+    klo = (W0 & m0).reshape(-1)
+    N = 2 * B * O
+
+    # ---- sort-merge join of probe prefixes with table prefixes
+    jlo = jnp.concatenate([dm.pref_lo, klo])
+    jhi = jnp.concatenate([dm.pref_hi, khi])
+    jtag = jnp.concatenate([jnp.zeros(NB, jnp.int32), jnp.ones(N, jnp.int32)])
+    jstart = jnp.concatenate([dm.bucket_start, jnp.zeros(N, jnp.int32)])
+    jcnt = jnp.concatenate([dm.bucket_count, jnp.zeros(N, jnp.int32)])
+    jpos = jnp.concatenate([jnp.full(NB, -1, jnp.int32),
+                            jnp.arange(N, dtype=jnp.int32)])
+    shi, slo, stag, sstart, scnt, spos = jax.lax.sort(
+        [jhi, jlo, jtag, jstart, jcnt, jpos], num_keys=3
+    )
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+    )
+    # first-of-run is the table row iff the bucket exists (tag sorts first)
+    has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
+    pstart, pcnt, ptab = _first_of_run_scan(
+        is_start, sstart, scnt, has_tab
+    )
+    probe_hit = (stag == 1) & (ptab > 0)
+
+    # ---- compact hits to capacity K
+    K = max(N // hit_capacity_frac, 256)
+    hidx = jnp.cumsum(probe_hit.astype(jnp.int32)) - 1
+    tgt = jnp.where(probe_hit & (hidx < K), hidx, K)
+    cpos = jnp.full(K + 1, -1, jnp.int32).at[tgt].set(spos)[:K]
+    cstart = jnp.zeros(K + 1, jnp.int32).at[tgt].set(pstart)[:K]
+    ccnt = jnp.zeros(K + 1, jnp.int32).at[tgt].set(pcnt)[:K]
+    n_hits = jnp.sum(probe_hit.astype(jnp.int32))
+    overflow_hits = jnp.maximum(n_hits - K, 0)
+
+    # ---- bucket scan on compacted candidates
+    cvalid = cpos >= 0
+    r2 = jnp.where(cvalid, cpos // O, 0)              # strand-folded read row
+    o2 = jnp.where(cvalid, cpos % O, 0)
+    avail = lengths2[r2] - o2
+    base = r2 * Lp + o2
+    p16f = p16.reshape(-1)
+    Emax = dm.length.shape[0]
+    found_u = jnp.full((K,), -1, jnp.int32)
+    found_d = jnp.full((K,), -1, jnp.int32)
+    for c in range(dm.max_bucket):
+        e = jnp.minimum(cstart + c, Emax - 1)
+        ok = cvalid & (c < ccnt)
+        elen = dm.length[e]
+        ok = ok & (elen <= avail)
+        match = ok
+        for w in range(kw):
+            idx = jnp.minimum(base + 16 * w, 2 * B * Lp - 1)
+            ww = jnp.where(base + 16 * w < 2 * B * Lp, p16f[idx], 0)
+            nb = jnp.clip(elen - 16 * w, 0, 16)
+            mask = jnp.where(
+                nb >= 16, jnp.uint32(0xFFFFFFFF),
+                (jnp.uint32(1) << (2 * nb.astype(jnp.uint32))) - jnp.uint32(1),
+            )
+            match = match & ((ww & mask) == dm.key_words[e, w])
+        gid = dm.gid[e]
+        is_d = dm.is_d[e]
+        found_u = jnp.where(match & ~is_d, gid, found_u)
+        found_d = jnp.where(match & is_d, gid, found_d)
+
+    # ---- assemble per-read distinct slots [B, maxm]
+    read_of = jnp.where(cvalid, r2 % B, B)            # B = padded row
+    m_read = jnp.concatenate([read_of, read_of])
+    m_gid = jnp.concatenate(
+        [jnp.where(found_u >= 0, found_u, BIG), jnp.where(found_d >= 0, found_d, BIG)]
+    )
+    m_read = jnp.where(m_gid < BIG, m_read, B)
+    sread, sgid = jax.lax.sort([m_read, m_gid], num_keys=2)
+    valid_m = (sread < B) & (sgid < BIG)
+    newkey = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (sread[1:] != sread[:-1]) | (sgid[1:] != sgid[:-1])]
+    )
+    distinct = valid_m & newkey
+    # rank within read
+    newread = jnp.concatenate([jnp.ones(1, bool), sread[1:] != sread[:-1]])
+    # rank counts only distinct slots: rank = (#distinct before i in read)
+    dcum = jnp.cumsum(distinct.astype(jnp.int32))
+    dstart = _first_of_run_scan(newread, dcum - distinct.astype(jnp.int32))[0]
+    rank = dcum - distinct.astype(jnp.int32) - dstart
+    put = distinct & (rank < maxm)
+    overflow_slots = jnp.sum(distinct & (rank >= maxm))
+    flat_t = jnp.where(put, sread * maxm + rank, B * maxm)
+    slots = jnp.full(B * maxm + 1, BIG, jnp.int32).at[flat_t].set(sgid)[: B * maxm]
+    slots = slots.reshape(B, maxm)
+
+    # payloads per slot
+    ip = jnp.argsort(dm.gid)                           # gid -> merged row
+    local = jnp.where(slots < BIG, slots, 0)
+    row = ip[jnp.minimum(local, Emax - 1)]
+    hit = slots < BIG
+    rid1 = jnp.where(hit, dm.rid1[row], 0)
+    rid2 = jnp.where(hit, dm.rid2[row], 0)
+    in_u = hit & (slots < dm.eu)
+    ms = MatchSlots(slots=slots, rid1=rid1, rid2=rid2, in_u=in_u)
+    return ms, overflow_hits, overflow_slots
+
+
+def classify_batch_sortjoin(
+    dm: DeviceMergedIndex,
+    codes,
+    lengths,
+    num_genome_slots: int,
+    with_rcounts: bool = True,
+    sc_mode: bool = False,
+    hit_capacity_frac: int = 8,
+    maxm: int = 64,
+):
+    """Single-device classification with the sort-join probe.
+
+    Returns (BatchCounts, overflow_hits, overflow_slots); nonzero overflow
+    means the capacities were exceeded and the caller should re-run with a
+    larger hit_capacity_frac=... (smaller frac) or maxm.
+    """
+    import jax.numpy as jnp
+
+    from .classify import BatchCounts, case_analysis, rcounts_from_case
+
+    ms, ovh, ovs = collect_matches_sortjoin(
+        dm, codes, lengths, hit_capacity_frac=hit_capacity_frac, maxm=maxm
+    )
+    case = case_analysis(ms, lengths, num_genome_slots, sc_mode=sc_mode)
+    Eu, Ed = dm.eu, dm.ed
+    if with_rcounts:
+        rcount_u = rcounts_from_case(case, 0, max(Eu, 1))[: max(Eu, 1)]
+        rcount_d = rcounts_from_case(case, Eu, max(Ed, 1))[: max(Ed, 1)]
+        if Eu == 0:
+            rcount_u = jnp.zeros(0, jnp.int32)
+        if Ed == 0:
+            rcount_d = jnp.zeros(0, jnp.int32)
+    else:
+        rcount_u = jnp.zeros(Eu, jnp.int32)
+        rcount_d = jnp.zeros(Ed, jnp.int32)
+    return (
+        BatchCounts(
+            cnts_u=case.cnts_u, cnts_d=case.cnts_d,
+            rcount_u=rcount_u, rcount_d=rcount_d,
+            nundet=case.nundet, nconf=case.nconf,
+            pair_lo=case.pair_lo, pair_hi=case.pair_hi,
+        ),
+        ovh,
+        ovs,
+    )

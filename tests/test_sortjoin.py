@@ -1,0 +1,98 @@
+"""Sort-join probe must match the baseline gather probe exactly."""
+
+import numpy as np
+import pytest
+
+from cammiq_tpu.config import BuildConfig, QueryConfig
+from cammiq_tpu.index.builder import build_index
+from cammiq_tpu.io.fasta import corpus_from_sequences
+from cammiq_tpu.io.fastq import reads_from_arrays
+from cammiq_tpu.query.pipeline import QuerySession
+from cammiq_tpu.query.sortjoin import (
+    build_merged_index,
+    classify_batch_sortjoin,
+    to_device_merged,
+)
+
+ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(9)
+    shared = rng.integers(0, 4, 150)
+    genomes = []
+    for g in range(5):
+        own = rng.integers(0, 4, 500)
+        ins = int(rng.integers(0, 350))
+        seq = np.concatenate([own[:ins], shared, own[ins:]])
+        genomes.append([ALPHA[seq].tobytes()])
+    corpus = corpus_from_sequences(genomes)
+    art = build_index(corpus, BuildConfig(k=12, L=60, Lmax=30, h=12, mode="both"),
+                      engine="numpy")
+    reads = []
+    for _ in range(300):
+        g = int(rng.integers(0, 5))
+        c = genomes[g][0]
+        p = int(rng.integers(0, len(c) - 60))
+        r = bytearray(c[p : p + 60])
+        if rng.random() < 0.5:
+            comp = {65: 84, 67: 71, 71: 67, 84: 65}
+            r = bytearray(comp[b] for b in reversed(r))
+        for i in range(60):
+            if rng.random() < 0.02:
+                r[i] = int(ALPHA[rng.integers(0, 4)])
+        reads.append(bytes(r))
+    rs = reads_from_arrays(reads, max_len=64)
+    G = int(corpus.ref_id.max()) + 1
+    sess = QuerySession(art.unique_index, art.doubly_index, G,
+                        QueryConfig(h=12, batch_size=512))
+    ref = sess.run(rs, sc_mode=False)
+    ref_sc = sess.run(rs, sc_mode=True)
+    return art, rs, G, ref, ref_sc
+
+
+@pytest.mark.parametrize("sc", [False, True])
+def test_sortjoin_matches_baseline(setup, sc):
+    import jax
+    import jax.numpy as jnp
+
+    art, rs, G, ref, ref_sc = setup
+    m = build_merged_index(art.unique_index, art.doubly_index)
+    dm = to_device_merged(m)
+    out, ovh, ovs = jax.jit(
+        lambda c, l: classify_batch_sortjoin(
+            dm, c, l, G, with_rcounts=not sc, sc_mode=sc)
+    )(jnp.asarray(rs.codes), jnp.asarray(rs.lengths))
+    assert int(ovh) == 0 and int(ovs) == 0
+    want = ref_sc if sc else ref
+    np.testing.assert_array_equal(np.asarray(out.cnts_u), want.cnts_u)
+    np.testing.assert_array_equal(np.asarray(out.cnts_d), want.cnts_d)
+    assert int(out.nundet) == want.nundet
+    assert int(out.nconf) == want.nconf
+    if not sc:
+        np.testing.assert_array_equal(np.asarray(out.rcount_u), ref.rcount_u)
+        np.testing.assert_array_equal(np.asarray(out.rcount_d), ref.rcount_d)
+    else:
+        lo = np.asarray(out.pair_lo)
+        hi = np.asarray(out.pair_hi)
+        got = {}
+        for a, b in zip(lo[lo >= 0], hi[lo >= 0]):
+            got[(int(a), int(b))] = got.get((int(a), int(b)), 0) + 1
+        assert got == ref_sc.pair_counts
+
+
+def test_unique_only(setup):
+    import jax
+    import jax.numpy as jnp
+
+    art, rs, G, ref, ref_sc = setup
+    m = build_merged_index(art.unique_index, None)
+    dm = to_device_merged(m)
+    out, ovh, ovs = jax.jit(
+        lambda c, l: classify_batch_sortjoin(dm, c, l, G)
+    )(jnp.asarray(rs.codes), jnp.asarray(rs.lengths))
+    sess = QuerySession(art.unique_index, None, G, QueryConfig(h=12, batch_size=512))
+    want = sess.run(rs)
+    np.testing.assert_array_equal(np.asarray(out.cnts_u), want.cnts_u)
+    np.testing.assert_array_equal(np.asarray(out.rcount_u), want.rcount_u)
