@@ -84,6 +84,7 @@ def build_index(
         engine = "native" if native.available() else "numpy"
 
     n = corpus.n
+    device = engine == "jax"
     # the reference computes the SA over n + sentinels but keeps ranks of
     # the n real suffixes only (divsufsort over n chars; src/build.cpp:286)
     with stage_timer("computing suffix array", timings, verbose):
@@ -102,13 +103,32 @@ def build_index(
     el = cfg.k - 1            # minuL - 1 (src/build.cpp:289)
     ulmax = cfg.L             # passed as ulmax to run() (src/build.cpp:289)
 
+    if device:
+        import jax.numpy as jnp
+
+        from . import unique_jax as uj
+
+        sa_j = jnp.asarray(sa, jnp.int32)
+        lcp_j = jnp.asarray(lcp, jnp.int32)
+        gsa_j = jnp.asarray(gsa, jnp.int32)
+
     if cfg.mode in ("unique", "both"):
         with stage_timer("computing LCP0 array", timings, verbose):
-            lcp0 = unique_lcp0(gsa, lcp, el)
+            if device:
+                lcp0_j = uj.unique_lcp0_jax(gsa_j, lcp_j, el)
+                lcp0 = np.asarray(lcp0_j).astype(np.int64)
+            else:
+                lcp0 = unique_lcp0(gsa, lcp, el)
         with stage_timer("computing OCC array", timings, verbose):
-            occ = occ_unique(sa, gsa, lcp, lcp0)
+            if device:
+                occ = np.asarray(uj.occ_unique_jax(sa_j, gsa_j, lcp_j, lcp0_j)).astype(np.int64)
+            else:
+                occ = occ_unique(sa, gsa, lcp, lcp0)
         with stage_timer("computing minimum unique substrings", timings, verbose):
-            mu = min_unique(sa, lcp0, n)
+            if device:
+                mu = np.asarray(uj.min_unique_jax(sa_j, lcp0_j, n)).astype(np.int64)
+            else:
+                mu = min_unique(sa, lcp0, n)
         with stage_timer("organizing index", timings, verbose):
             sel = select_substrings(
                 corpus, mu, occ, cfg.L, cfg.Lmax, num_groups=cfg.num_groups
@@ -118,11 +138,26 @@ def build_index(
 
     if cfg.mode in ("doubly_unique", "both"):
         with stage_timer("computing LCP0-D array", timings, verbose):
-            dres = doubly_lcp0(sa, gsa, lcp, el, ulmax)
+            if device:
+                dl_j, g2_j = uj.doubly_lcp0_jax(sa_j, gsa_j, lcp_j, el, ulmax)
+                from .unique import DoublyResult
+
+                dres = DoublyResult(np.asarray(dl_j).astype(np.int64),
+                                    np.asarray(g2_j).astype(np.int64))
+            else:
+                dres = doubly_lcp0(sa, gsa, lcp, el, ulmax)
         with stage_timer("computing OCC array (doubly)", timings, verbose):
-            occ_d, occ2_d = occ_doubly(sa, gsa, dres.gsa2, lcp, dres.lcp0, ulmax)
+            if device:
+                od_j, od2_j = uj.occ_doubly_jax(sa_j, gsa_j, g2_j, lcp_j, dl_j, ulmax)
+                occ_d = np.asarray(od_j).astype(np.int64)
+                occ2_d = np.asarray(od2_j).astype(np.int64)
+            else:
+                occ_d, occ2_d = occ_doubly(sa, gsa, dres.gsa2, lcp, dres.lcp0, ulmax)
         with stage_timer("computing minimum unique substrings (doubly)", timings, verbose):
-            mu_d = min_unique(sa, dres.lcp0, n, ulmax=ulmax)
+            if device:
+                mu_d = np.asarray(uj.min_unique_jax(sa_j, dl_j, n, ulmax=ulmax)).astype(np.int64)
+            else:
+                mu_d = min_unique(sa, dres.lcp0, n, ulmax=ulmax)
         with stage_timer("organizing index (doubly)", timings, verbose):
             sel_d = select_substrings(
                 corpus, mu_d, occ_d, cfg.L, cfg.Lmax,
