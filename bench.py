@@ -65,6 +65,15 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
+    # persistent compile cache: TPU compiles go through a slow remote
+    # service on this machine; cache across bench runs
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from cammiq_tpu.query.classify import classify_batch
     from cammiq_tpu.query.probe import to_device_index
 

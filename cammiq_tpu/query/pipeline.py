@@ -45,7 +45,10 @@ class QuerySession:
         index_d: Optional[FlatIndex],
         num_genome_slots: int,
         cfg: QueryConfig | None = None,
+        engine: str = "gather",
     ):
+        """engine: 'gather' (baseline per-position probe) or 'sortjoin'
+        (lax.sort merge join; fastest on TPU)."""
         import jax
 
         self.cfg = cfg or QueryConfig()
@@ -74,15 +77,41 @@ class QuerySession:
                 raise ValueError("unique/doubly hash lengths must match at query time")
             self.didx_d = to_device_index(index_d)
 
-        self._classify = jax.jit(
-            partial(
-                classify_batch,
-                self.didx_u,
-                self.didx_d,
-                num_genome_slots=num_genome_slots,
-            ),
-            static_argnames=("with_rcounts", "sc_mode"),
-        )
+        self.engine = engine
+        if engine == "sortjoin":
+            from .sortjoin import build_merged_index, classify_batch_sortjoin, to_device_merged
+
+            dm = to_device_merged(build_merged_index(index_u, index_d))
+
+            def _fn(codes, lengths, with_rcounts, sc_mode):
+                out, ovh, ovs = classify_batch_sortjoin(
+                    dm, codes, lengths, num_genome_slots,
+                    with_rcounts=with_rcounts, sc_mode=sc_mode,
+                )
+                return out, ovh, ovs
+
+            inner = jax.jit(_fn, static_argnames=("with_rcounts", "sc_mode"))
+
+            def wrapped(codes, lengths, with_rcounts=True, sc_mode=False):
+                out, ovh, ovs = inner(codes, lengths,
+                                      with_rcounts=with_rcounts, sc_mode=sc_mode)
+                if int(ovh) or int(ovs):
+                    raise RuntimeError(
+                        f"sort-join capacity overflow (hits={int(ovh)}, "
+                        f"slots={int(ovs)}); increase capacities")
+                return out
+
+            self._classify = wrapped
+        else:
+            self._classify = jax.jit(
+                partial(
+                    classify_batch,
+                    self.didx_u,
+                    self.didx_d,
+                    num_genome_slots=num_genome_slots,
+                ),
+                static_argnames=("with_rcounts", "sc_mode"),
+            )
 
     def run(self, reads: ReadSet, sc_mode: bool = False,
             timings: Timings | None = None, verbose: bool = False) -> QueryCounts:

@@ -96,3 +96,16 @@ def test_unique_only(setup):
     want = sess.run(rs)
     np.testing.assert_array_equal(np.asarray(out.cnts_u), want.cnts_u)
     np.testing.assert_array_equal(np.asarray(out.rcount_u), want.rcount_u)
+
+
+def test_session_sortjoin_engine(setup):
+    art, rs, G, ref, ref_sc = setup
+    sess = QuerySession(art.unique_index, art.doubly_index, G,
+                        QueryConfig(h=12, batch_size=512), engine="sortjoin")
+    got = sess.run(rs)
+    np.testing.assert_array_equal(got.cnts_u, ref.cnts_u)
+    np.testing.assert_array_equal(got.cnts_d, ref.cnts_d)
+    np.testing.assert_array_equal(got.rcount_u, ref.rcount_u)
+    np.testing.assert_array_equal(got.rcount_d, ref.rcount_d)
+    got_sc = sess.run(rs, sc_mode=True)
+    assert got_sc.pair_counts == ref_sc.pair_counts
