@@ -74,8 +74,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    from cammiq_tpu.query.classify import classify_batch
-    from cammiq_tpu.query.probe import to_device_index
 
     t0 = time.time()
     rng = np.random.default_rng(1)
@@ -84,15 +82,22 @@ def main():
           f"unique={art.unique_index.num_entries} "
           f"doubly={art.doubly_index.num_entries} entries", file=sys.stderr)
 
-    didx_u = to_device_index(art.unique_index)
-    didx_d = to_device_index(art.doubly_index)
+    from cammiq_tpu.query.sortjoin import (
+        build_merged_index, classify_batch_sortjoin, to_device_merged,
+    )
+
+    dm = to_device_merged(build_merged_index(art.unique_index, art.doubly_index))
     G = len(genomes) + 1
 
     batch = 32768
-    fn = jax.jit(partial(
-        classify_batch, didx_u, didx_d,
-        num_genome_slots=G, with_rcounts=True, sc_mode=False,
-    ))
+
+    def fn_impl(codes, lengths):
+        out, ovh, ovs = classify_batch_sortjoin(
+            dm, codes, lengths, G, with_rcounts=True, sc_mode=False
+        )
+        return out
+
+    fn = jax.jit(fn_impl)
 
     codes, lengths = sample_read_batch(rng, genomes, batch)
     codes_d = jnp.asarray(codes)
