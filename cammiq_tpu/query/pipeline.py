@@ -83,18 +83,26 @@ class QuerySession:
 
             dm = to_device_merged(build_merged_index(index_u, index_d))
 
-            def _fn(codes, lengths, with_rcounts, sc_mode):
+            def _fn(codes, lengths, with_rcounts, sc_mode, uniform_len):
                 out, ovh, ovs = classify_batch_sortjoin(
                     dm, codes, lengths, num_genome_slots,
                     with_rcounts=with_rcounts, sc_mode=sc_mode,
+                    uniform_len=uniform_len,
                 )
                 return out, ovh, ovs
 
-            inner = jax.jit(_fn, static_argnames=("with_rcounts", "sc_mode"))
+            inner = jax.jit(
+                _fn, static_argnames=("with_rcounts", "sc_mode", "uniform_len"))
 
             def wrapped(codes, lengths, with_rcounts=True, sc_mode=False):
+                import numpy as _np
+
+                ln = _np.asarray(lengths)
+                real = ln[ln > 0]
+                ul = int(real[0]) if real.size and (real == real[0]).all() and (ln > 0).all() else None
                 out, ovh, ovs = inner(codes, lengths,
-                                      with_rcounts=with_rcounts, sc_mode=sc_mode)
+                                      with_rcounts=with_rcounts, sc_mode=sc_mode,
+                                      uniform_len=ul)
                 if int(ovh) or int(ovs):
                     raise RuntimeError(
                         f"sort-join capacity overflow (hits={int(ovh)}, "

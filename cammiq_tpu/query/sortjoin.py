@@ -181,12 +181,15 @@ def collect_matches_sortjoin(
     dm: DeviceMergedIndex,
     codes,
     lengths,
-    hit_capacity_frac: int = 8,
-    maxm: int = 64,
+    hit_capacity_frac: int = 16,
+    maxm: int = 32,
+    uniform_len: int | None = None,
 ):
     """MatchSlots [B, maxm] via the sort-join probe.
 
     hit_capacity_frac: K = N // frac compacted probe capacity.
+    uniform_len: if every read has this exact length, the reverse
+    complement is computed gather-free (flip + complement).
     Also returns (overflow_hits, overflow_slots) diagnostics.
     """
     import jax
@@ -198,7 +201,15 @@ def collect_matches_sortjoin(
     NB = dm.pref_lo.shape[0]
 
     # ---- both strands stacked: [2B, Lp]
-    rc = revcomp_batch(codes, lengths)
+    if uniform_len is not None:
+        rl = int(uniform_len)
+        rc = (3 - codes[:, :rl])[:, ::-1].astype(codes.dtype)
+        if rl < Lp:
+            rc = jnp.concatenate(
+                [rc, jnp.zeros((B, Lp - rl), codes.dtype)], axis=1
+            )
+    else:
+        rc = revcomp_batch(codes, lengths)
     codes2 = jnp.concatenate([codes, rc], axis=0)
     lengths2 = jnp.concatenate([lengths, lengths], axis=0)
     p16 = pack_rolling16(codes2)                      # [2B, Lp] uint32
@@ -248,13 +259,18 @@ def collect_matches_sortjoin(
     )
     probe_hit = (stag == 1) & (ptab > 0)
 
-    # ---- compact hits to capacity K
+    # ---- compact hits to capacity K: scatter only the sorted-row index,
+    # then gather the (tiny) per-hit fields from the sorted arrays
     K = max(N // hit_capacity_frac, 256)
     hidx = jnp.cumsum(probe_hit.astype(jnp.int32)) - 1
     tgt = jnp.where(probe_hit & (hidx < K), hidx, K)
-    cpos = jnp.full(K + 1, -1, jnp.int32).at[tgt].set(spos)[:K]
-    cstart = jnp.zeros(K + 1, jnp.int32).at[tgt].set(pstart)[:K]
-    ccnt = jnp.zeros(K + 1, jnp.int32).at[tgt].set(pcnt)[:K]
+    rows = jnp.arange(N + NB, dtype=jnp.int32)
+    crow = jnp.full(K + 1, -1, jnp.int32).at[tgt].set(rows)[:K]
+    cv = crow >= 0
+    crow_c = jnp.maximum(crow, 0)
+    cpos = jnp.where(cv, spos[crow_c], -1)
+    cstart = jnp.where(cv, pstart[crow_c], 0)
+    ccnt = jnp.where(cv, pcnt[crow_c], 0)
     n_hits = jnp.sum(probe_hit.astype(jnp.int32))
     overflow_hits = jnp.maximum(n_hits - K, 0)
 
@@ -266,8 +282,8 @@ def collect_matches_sortjoin(
     base = r2 * Lp + o2
     p16f = p16.reshape(-1)
     Emax = dm.length.shape[0]
-    found_u = jnp.full((K,), -1, jnp.int32)
-    found_d = jnp.full((K,), -1, jnp.int32)
+    found_row_u = jnp.full((K,), -1, jnp.int32)
+    found_row_d = jnp.full((K,), -1, jnp.int32)
     for c in range(dm.max_bucket):
         e = jnp.minimum(cstart + c, Emax - 1)
         ok = cvalid & (c < ccnt)
@@ -283,19 +299,33 @@ def collect_matches_sortjoin(
                 (jnp.uint32(1) << (2 * nb.astype(jnp.uint32))) - jnp.uint32(1),
             )
             match = match & ((ww & mask) == dm.key_words[e, w])
-        gid = dm.gid[e]
         is_d = dm.is_d[e]
-        found_u = jnp.where(match & ~is_d, gid, found_u)
-        found_d = jnp.where(match & is_d, gid, found_d)
+        found_row_u = jnp.where(match & ~is_d, e, found_row_u)
+        found_row_d = jnp.where(match & is_d, e, found_row_d)
+
+    # match payloads at candidate granularity (K small)
+    def payload(found_row):
+        hitf = found_row >= 0
+        row = jnp.maximum(found_row, 0)
+        return (
+            jnp.where(hitf, dm.gid[row], BIG),
+            jnp.where(hitf, dm.rid1[row], 0),
+            jnp.where(hitf, dm.rid2[row], 0),
+        )
+
+    gu, r1u, r2u = payload(found_row_u)
+    gd, r1d, r2d = payload(found_row_d)
 
     # ---- assemble per-read distinct slots [B, maxm]
     read_of = jnp.where(cvalid, r2 % B, B)            # B = padded row
     m_read = jnp.concatenate([read_of, read_of])
-    m_gid = jnp.concatenate(
-        [jnp.where(found_u >= 0, found_u, BIG), jnp.where(found_d >= 0, found_d, BIG)]
-    )
+    m_gid = jnp.concatenate([gu, gd])
+    m_r1 = jnp.concatenate([r1u, r1d])
+    m_r2 = jnp.concatenate([r2u, r2d])
     m_read = jnp.where(m_gid < BIG, m_read, B)
-    sread, sgid = jax.lax.sort([m_read, m_gid], num_keys=2)
+    sread, sgid, sr1, sr2 = jax.lax.sort(
+        [m_read, m_gid, m_r1, m_r2], num_keys=2
+    )
     valid_m = (sread < B) & (sgid < BIG)
     newkey = jnp.concatenate(
         [jnp.ones(1, bool),
@@ -312,15 +342,12 @@ def collect_matches_sortjoin(
     overflow_slots = jnp.sum(distinct & (rank >= maxm))
     flat_t = jnp.where(put, sread * maxm + rank, B * maxm)
     slots = jnp.full(B * maxm + 1, BIG, jnp.int32).at[flat_t].set(sgid)[: B * maxm]
+    rid1 = jnp.zeros(B * maxm + 1, jnp.int32).at[flat_t].set(sr1)[: B * maxm]
+    rid2 = jnp.zeros(B * maxm + 1, jnp.int32).at[flat_t].set(sr2)[: B * maxm]
     slots = slots.reshape(B, maxm)
-
-    # payloads per slot
-    ip = jnp.argsort(dm.gid)                           # gid -> merged row
-    local = jnp.where(slots < BIG, slots, 0)
-    row = ip[jnp.minimum(local, Emax - 1)]
+    rid1 = rid1.reshape(B, maxm)
+    rid2 = rid2.reshape(B, maxm)
     hit = slots < BIG
-    rid1 = jnp.where(hit, dm.rid1[row], 0)
-    rid2 = jnp.where(hit, dm.rid2[row], 0)
     in_u = hit & (slots < dm.eu)
     ms = MatchSlots(slots=slots, rid1=rid1, rid2=rid2, in_u=in_u)
     return ms, overflow_hits, overflow_slots
@@ -333,8 +360,9 @@ def classify_batch_sortjoin(
     num_genome_slots: int,
     with_rcounts: bool = True,
     sc_mode: bool = False,
-    hit_capacity_frac: int = 8,
-    maxm: int = 64,
+    hit_capacity_frac: int = 16,
+    maxm: int = 32,
+    uniform_len: int | None = None,
 ):
     """Single-device classification with the sort-join probe.
 
@@ -347,7 +375,8 @@ def classify_batch_sortjoin(
     from .classify import BatchCounts, case_analysis, rcounts_from_case
 
     ms, ovh, ovs = collect_matches_sortjoin(
-        dm, codes, lengths, hit_capacity_frac=hit_capacity_frac, maxm=maxm
+        dm, codes, lengths, hit_capacity_frac=hit_capacity_frac, maxm=maxm,
+        uniform_len=uniform_len,
     )
     case = case_analysis(ms, lengths, num_genome_slots, sc_mode=sc_mode)
     Eu, Ed = dm.eu, dm.ed
