@@ -93,7 +93,8 @@ def main():
 
     def fn_impl(codes, lengths):
         out, ovh, ovs = classify_batch_sortjoin(
-            dm, codes, lengths, G, with_rcounts=True, sc_mode=False
+            dm, codes, lengths, G, with_rcounts=True, sc_mode=False,
+            uniform_len=100,
         )
         return out
 
