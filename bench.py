@@ -83,22 +83,19 @@ def main():
           f"doubly={art.doubly_index.num_entries} entries", file=sys.stderr)
 
     from cammiq_tpu.query.sortjoin import (
-        build_merged_index, classify_batch_sortjoin, to_device_merged,
+        build_merged_index, make_sortjoin_classifier, to_device_merged,
     )
 
     dm = to_device_merged(build_merged_index(art.unique_index, art.doubly_index))
     G = len(genomes) + 1
 
-    batch = 32768
+    batch = 8192
+    classify = make_sortjoin_classifier(dm, G)
 
-    def fn_impl(codes, lengths):
-        out, ovh, ovs = classify_batch_sortjoin(
-            dm, codes, lengths, G, with_rcounts=True, sc_mode=False,
-            uniform_len=100,
-        )
+    def fn(codes, lengths):
+        out, ovh, ovs = classify(codes, lengths, with_rcounts=True,
+                                 sc_mode=False, uniform_len=100)
         return out
-
-    fn = jax.jit(fn_impl)
 
     codes, lengths = sample_read_batch(rng, genomes, batch)
     codes_d = jnp.asarray(codes)

@@ -79,20 +79,10 @@ class QuerySession:
 
         self.engine = engine
         if engine == "sortjoin":
-            from .sortjoin import build_merged_index, classify_batch_sortjoin, to_device_merged
+            from .sortjoin import build_merged_index, make_sortjoin_classifier, to_device_merged
 
             dm = to_device_merged(build_merged_index(index_u, index_d))
-
-            def _fn(codes, lengths, with_rcounts, sc_mode, uniform_len):
-                out, ovh, ovs = classify_batch_sortjoin(
-                    dm, codes, lengths, num_genome_slots,
-                    with_rcounts=with_rcounts, sc_mode=sc_mode,
-                    uniform_len=uniform_len,
-                )
-                return out, ovh, ovs
-
-            inner = jax.jit(
-                _fn, static_argnames=("with_rcounts", "sc_mode", "uniform_len"))
+            inner = make_sortjoin_classifier(dm, num_genome_slots)
 
             def wrapped(codes, lengths, with_rcounts=True, sc_mode=False):
                 import numpy as _np

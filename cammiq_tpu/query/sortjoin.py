@@ -259,15 +259,16 @@ def collect_matches_sortjoin(
     )
     probe_hit = (stag == 1) & (ptab > 0)
 
-    # ---- compact hits to capacity K: scatter only the sorted-row index,
-    # then gather the (tiny) per-hit fields from the sorted arrays
+    # ---- compact hits to capacity K: a single 1-key sort on a fused
+    # (miss-flag | sorted-row) key brings the hit rows (in order) to the
+    # front; then gather the (tiny) per-hit fields from the sorted arrays
     K = max(N // hit_capacity_frac, 256)
-    hidx = jnp.cumsum(probe_hit.astype(jnp.int32)) - 1
-    tgt = jnp.where(probe_hit & (hidx < K), hidx, K)
     rows = jnp.arange(N + NB, dtype=jnp.int32)
-    crow = jnp.full(K + 1, -1, jnp.int32).at[tgt].set(rows)[:K]
-    cv = crow >= 0
-    crow_c = jnp.maximum(crow, 0)
+    BIGOFF = jnp.int32(1 << 30)
+    fkey = jnp.where(probe_hit, rows, rows + BIGOFF)
+    skey = jnp.sort(fkey)[:K]
+    cv = skey < BIGOFF
+    crow_c = jnp.where(cv, skey, 0)
     cpos = jnp.where(cv, spos[crow_c], -1)
     cstart = jnp.where(cv, pstart[crow_c], 0)
     ccnt = jnp.where(cv, pcnt[crow_c], 0)
@@ -351,6 +352,72 @@ def collect_matches_sortjoin(
     in_u = hit & (slots < dm.eu)
     ms = MatchSlots(slots=slots, rid1=rid1, rid2=rid2, in_u=in_u)
     return ms, overflow_hits, overflow_slots
+
+
+def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
+                             hit_capacity_frac: int = 16, maxm: int = 32):
+    """Two-jit classifier: (collect+case) and (rcounts) compile separately
+    - the fused single program both compiles slower and runs slower on
+    the TPU backend here.
+
+    Returns classify(codes, lengths, with_rcounts, sc_mode, uniform_len)
+    -> (BatchCounts, overflow_hits, overflow_slots).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .classify import BatchCounts, CaseResult, case_analysis, rcounts_from_case
+
+    @partial_jit(static_argnames=("sc_mode", "uniform_len"))
+    def part1(codes, lengths, sc_mode, uniform_len):
+        ms, ovh, ovs = collect_matches_sortjoin(
+            dm, codes, lengths, hit_capacity_frac=hit_capacity_frac,
+            maxm=maxm, uniform_len=uniform_len,
+        )
+        case = case_analysis(ms, lengths, num_genome_slots, sc_mode=sc_mode)
+        return case, ovh, ovs
+
+    @partial_jit(static_argnames=())
+    def part2(dslot, sslots, assigned):
+        case = CaseResult(None, None, assigned, dslot, sslots,
+                          None, None, None, None)
+        rcu = rcounts_from_case(case, 0, max(dm.eu, 1))
+        rcd = rcounts_from_case(case, dm.eu, max(dm.ed, 1))
+        return rcu, rcd
+
+    def classify(codes, lengths, with_rcounts=True, sc_mode=False,
+                 uniform_len=None):
+        case, ovh, ovs = part1(codes, lengths, sc_mode=sc_mode,
+                               uniform_len=uniform_len)
+        if with_rcounts:
+            rcu, rcd = part2(case.dslot, case.sslots, case.assigned)
+            if dm.eu == 0:
+                rcu = jnp.zeros(0, jnp.int32)
+            if dm.ed == 0:
+                rcd = jnp.zeros(0, jnp.int32)
+        else:
+            rcu = jnp.zeros(dm.eu, jnp.int32)
+            rcd = jnp.zeros(dm.ed, jnp.int32)
+        return (
+            BatchCounts(
+                cnts_u=case.cnts_u, cnts_d=case.cnts_d,
+                rcount_u=rcu, rcount_d=rcd,
+                nundet=case.nundet, nconf=case.nconf,
+                pair_lo=case.pair_lo, pair_hi=case.pair_hi,
+            ),
+            ovh, ovs,
+        )
+
+    return classify
+
+
+def partial_jit(static_argnames):
+    import jax
+
+    def deco(f):
+        return jax.jit(f, static_argnames=static_argnames)
+
+    return deco
 
 
 def classify_batch_sortjoin(
