@@ -224,7 +224,10 @@ def run_query(a: dict) -> None:
     )
     qcfg = QueryConfig(h=index_u.h, erate=a["erate"], min_read_len=a["min_rl"],
                        id_mode=a["id_mode"], fine=fine, ident=identp)
-    sess = QuerySession(index_u, index_d, G, qcfg)
+    engine = {"auto": "sortjoin"}.get(a["engine"], a["engine"])
+    if engine not in ("sortjoin", "gather"):
+        engine = "sortjoin"
+    sess = QuerySession(index_u, index_d, G, qcfg, engine=engine)
 
     files = a["fq_names"] or (list_fastq_dir(a["fq_dir"]) if a["fq_dir"] else [])
     if not files:

@@ -53,6 +53,8 @@ class QuerySession:
 
         self.cfg = cfg or QueryConfig()
         self.num_genome_slots = num_genome_slots
+        self.num_entries_u = index_u.num_entries
+        self.num_entries_d = index_d.num_entries if index_d is not None else 0
         self.didx_u = to_device_index(index_u)
         if index_d is None:
             # empty doubly table: dummy never-matching index with same h
@@ -118,8 +120,8 @@ class QuerySession:
         G = self.num_genome_slots
         cnts_u = np.zeros(G, np.int64)
         cnts_d = np.zeros(G, np.int64)
-        rcount_u = np.zeros(self.didx_u.length.shape[0], np.int64)
-        rcount_d = np.zeros(self.didx_d.length.shape[0], np.int64)
+        rcount_u = np.zeros(self.num_entries_u, np.int64)
+        rcount_d = np.zeros(self.num_entries_d, np.int64)
         nundet = 0
         nconf = 0
         pair_counts: Dict[Tuple[int, int], int] = {}
@@ -149,8 +151,8 @@ class QuerySession:
                 )
                 cnts_u += np.asarray(out.cnts_u, np.int64)
                 cnts_d += np.asarray(out.cnts_d, np.int64)
-                rcount_u += np.asarray(out.rcount_u, np.int64)
-                rcount_d += np.asarray(out.rcount_d, np.int64)
+                rcount_u += np.asarray(out.rcount_u, np.int64)[: self.num_entries_u]
+                rcount_d += np.asarray(out.rcount_d, np.int64)[: self.num_entries_d]
                 nundet += int(out.nundet)
                 nconf += int(out.nconf)
                 if sc_mode:
