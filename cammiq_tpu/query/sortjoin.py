@@ -254,9 +254,18 @@ def collect_matches_sortjoin(
     )
     # first-of-run is the table row iff the bucket exists (tag sorts first)
     has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
-    pstart, pcnt, ptab = _first_of_run_scan(
-        is_start, sstart, scnt, has_tab
-    )
+    import os
+
+    if os.environ.get("CAMMIQ_PALLAS_SCAN", "0") == "1":
+        from ..ops.pallas_scan import first_of_run_scan_pallas
+
+        pstart, pcnt, ptab = first_of_run_scan_pallas(
+            is_start, sstart, scnt, has_tab
+        )
+    else:
+        pstart, pcnt, ptab = _first_of_run_scan(
+            is_start, sstart, scnt, has_tab
+        )
     probe_hit = (stag == 1) & (ptab > 0)
 
     # ---- compact hits to capacity K: a single 1-key sort on a fused

@@ -149,3 +149,31 @@ def test_read_cnts_type2(toy_db, built_idx, tmp_path):
     lines = open(out).read().strip().split("\n")
     counts = [int(x) for x in lines[1].split("\t")[1:]]
     assert sum(counts) > 400
+
+
+def test_quant_lognormal_abundances(toy_db, built_idx, tmp_path):
+    """Non-uniform abundances must be recovered (L1 tolerance)."""
+    root, db, map_file, entries = toy_db
+    fq = tmp_path / "sim_ln.fq"
+    rep = tmp_path / "truth_ln.out"
+    simulate(str(map_file), str(db), str(fq), str(rep),
+             num_reads=4000, L=100, erate=0.0, dist="lognormal", seed=7)
+    truth = {}
+    for line in open(rep):
+        gid, ab = line.split()
+        truth[int(gid)] = float(ab)
+    out = tmp_path / "quant_ln.out"
+    cli_main([
+        "--query",
+        "-f", str(map_file),
+        "-i", str(built_idx / "index_u.npz"), str(built_idx / "index_d.npz"),
+        "-q", str(fq), "-o", str(out),
+    ])
+    rows = parse_quant_output(str(out))[0]["rows"]
+    got = {t - 1000 + 1: a for t, a, _ in rows}
+    # all genomes with non-negligible truth must be found
+    for gid, ab in truth.items():
+        if ab > 0.02:
+            assert gid in got, (gid, ab, got)
+    l1 = sum(abs(got.get(g, 0.0) - truth[g]) for g in truth)
+    assert l1 < 0.1, (l1, got, truth)
