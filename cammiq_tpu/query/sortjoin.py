@@ -256,7 +256,10 @@ def collect_matches_sortjoin(
     has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
     import os
 
-    if os.environ.get("CAMMIQ_PALLAS_SCAN", "0") == "1":
+    use_pallas = os.environ.get("CAMMIQ_PALLAS_SCAN", "auto")
+    if use_pallas == "1" or (
+        use_pallas == "auto" and jax.default_backend() != "cpu"
+    ):
         from ..ops.pallas_scan import first_of_run_scan_pallas
 
         pstart, pcnt, ptab = first_of_run_scan_pallas(
