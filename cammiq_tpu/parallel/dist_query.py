@@ -182,6 +182,154 @@ def _shard_arrays(s: ShardedIndex) -> dict:
     }
 
 
+def shard_merged_index(m, mp: int):
+    """Split a MergedIndex into mp bucket-aligned equal-shape shards
+    (stacked leading axis).  Padded prefixes use an impossible key
+    (0xFFFFFFFF exceeds any masked h-prefix), padded entries a
+    never-matching length."""
+    from ..query.sortjoin import MergedIndex
+
+    NB = m.pref_lo.shape[0]
+    E = m.length.shape[0]
+    cuts_b = [NB * i // mp for i in range(mp + 1)]
+    nb_pad = max(1, max(cuts_b[i + 1] - cuts_b[i] for i in range(mp)))
+    # entry ranges follow bucket ranges
+    e_lo = [int(m.bucket_start[cuts_b[i]]) if cuts_b[i] < NB else E for i in range(mp)]
+    e_hi = e_lo[1:] + [E]
+    e_pad = max(1, max(h - l for l, h in zip(e_lo, e_hi)))
+
+    out = dict(
+        key_words=np.zeros((mp, e_pad, m.kw), np.uint32),
+        length=np.full((mp, e_pad), 1 << 30, np.int32),
+        rid1=np.zeros((mp, e_pad), np.int32),
+        rid2=np.zeros((mp, e_pad), np.int32),
+        gid=np.zeros((mp, e_pad), np.int32),
+        is_d=np.zeros((mp, e_pad), bool),
+        pref_lo=np.full((mp, nb_pad), 0xFFFFFFFF, np.uint32),
+        pref_hi=np.full((mp, nb_pad), 0xFFFFFFFF, np.uint32),
+        bucket_start=np.zeros((mp, nb_pad), np.int32),
+        bucket_count=np.zeros((mp, nb_pad), np.int32),
+    )
+    for i in range(mp):
+        blo, bhi = cuts_b[i], cuts_b[i + 1]
+        lo, hi = e_lo[i], e_hi[i]
+        ec, bc = hi - lo, bhi - blo
+        if ec:
+            out["key_words"][i, :ec] = m.key_words[lo:hi]
+            out["length"][i, :ec] = m.length[lo:hi]
+            out["rid1"][i, :ec] = m.rid1[lo:hi]
+            out["rid2"][i, :ec] = m.rid2[lo:hi]
+            out["gid"][i, :ec] = m.gid[lo:hi]
+            out["is_d"][i, :ec] = m.is_d[lo:hi]
+        if bc:
+            out["pref_lo"][i, :bc] = m.pref_lo[blo:bhi]
+            out["pref_hi"][i, :bc] = m.pref_hi[blo:bhi]
+            out["bucket_start"][i, :bc] = m.bucket_start[blo:bhi] - lo
+            out["bucket_count"][i, :bc] = m.bucket_count[blo:bhi]
+    return out, e_pad, nb_pad
+
+
+class DistSortJoinSession:
+    """Distributed sort-join classify over a ('data', 'model') mesh.
+
+    Reads shard over 'data'; the merged index shards over 'model'
+    (bucket-aligned).  Each device runs the local sort-join against its
+    shard; per-read MatchSlots all_gather over 'model' (slot ids are
+    global, so cross-shard dedup is automatic); the case analysis runs
+    replicated and counts psum.
+    """
+
+    def __init__(
+        self,
+        mesh,
+        index_u: FlatIndex,
+        index_d: Optional[FlatIndex],
+        num_genome_slots: int,
+        sc_mode: bool = False,
+        maxm: int = 32,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..query.classify import MatchSlots, case_analysis, rcounts_from_case
+        from ..query.sortjoin import (
+            DeviceMergedIndex,
+            build_merged_index,
+            collect_matches_sortjoin,
+        )
+
+        self.mesh = mesh
+        self.G = num_genome_slots
+        mp = mesh.shape["model"]
+        dp = mesh.shape["data"]
+        self.mp, self.dp = mp, dp
+        m = build_merged_index(index_u, index_d)
+        self.eu, self.ed = m.eu, m.ed
+        shards, e_pad, nb_pad = shard_merged_index(m, mp)
+        G = num_genome_slots
+        sc = sc_mode
+        h, kw, max_bucket = m.h, m.kw, m.max_bucket
+        eu, ed = m.eu, m.ed
+
+        def local_fn(sh, codes, lengths):
+            dmi = DeviceMergedIndex(
+                h=h, kw=kw, eu=eu, ed=ed, max_bucket=max_bucket,
+                key_words=sh["key_words"][0], length=sh["length"][0],
+                rid1=sh["rid1"][0], rid2=sh["rid2"][0],
+                gid=sh["gid"][0], is_d=sh["is_d"][0],
+                pref_lo=sh["pref_lo"][0], pref_hi=sh["pref_hi"][0],
+                bucket_start=sh["bucket_start"][0],
+                bucket_count=sh["bucket_count"][0],
+            )
+            ms, ovh, ovs = collect_matches_sortjoin(dmi, codes, lengths,
+                                                    maxm=maxm)
+            gathered = MatchSlots(
+                *(jax.lax.all_gather(x, "model", axis=1, tiled=True) for x in ms)
+            )
+            case = case_analysis(gathered, lengths, G, sc_mode=sc)
+            cnts_u = jax.lax.psum(case.cnts_u, ("data", "model")) // mp
+            cnts_d = jax.lax.psum(case.cnts_d, ("data", "model")) // mp
+            nundet = jax.lax.psum(case.nundet, ("data", "model")) // mp
+            nconf = jax.lax.psum(case.nconf, ("data", "model")) // mp
+            rcu = jax.lax.psum(
+                rcounts_from_case(case, 0, max(eu, 1)), ("data", "model")
+            ) // mp
+            rcd = jax.lax.psum(
+                rcounts_from_case(case, eu, max(ed, 1)), ("data", "model")
+            ) // mp
+            ovh = jax.lax.psum(ovh, ("data", "model"))
+            return (cnts_u, cnts_d, rcu, rcd, nundet, nconf,
+                    case.pair_lo, case.pair_hi, ovh)
+
+        spec_sh = {k: P("model") for k in shards}
+        fn = shard_map_fn(
+            self.mesh, local_fn,
+            in_specs=(spec_sh, P("data", None), P("data")),
+            out_specs=(P(), P(), P(), P(), P(), P(), P("data"), P("data"), P()),
+        )
+        self._fn = jax.jit(fn)
+        self._shards = jax.device_put(
+            shards, {k: NamedSharding(mesh, P("model")) for k in shards}
+        )
+
+    def classify(self, codes: np.ndarray, lengths: np.ndarray):
+        import jax.numpy as jnp
+
+        from ..query.classify import BatchCounts
+
+        out = self._fn(self._shards, jnp.asarray(codes), jnp.asarray(lengths))
+        cnts_u, cnts_d, rcu, rcd, nundet, nconf, pair_lo, pair_hi, ovh = out
+        if int(ovh):
+            raise RuntimeError(f"sort-join capacity overflow across shards ({int(ovh)})")
+        return BatchCounts(
+            cnts_u=np.asarray(cnts_u), cnts_d=np.asarray(cnts_d),
+            rcount_u=np.asarray(rcu)[: self.eu], rcount_d=np.asarray(rcd)[: self.ed],
+            nundet=int(nundet), nconf=int(nconf),
+            pair_lo=np.asarray(pair_lo), pair_hi=np.asarray(pair_hi),
+        )
+
+
 class DistQuerySession:
     """Distributed classify over a ('data', 'model') mesh."""
 

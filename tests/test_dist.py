@@ -78,3 +78,24 @@ def test_dist_matches_single(setup, dp, mp):
     for a, b in zip(lo[lo >= 0], hi[lo >= 0]):
         got_pairs[(int(a), int(b))] = got_pairs.get((int(a), int(b)), 0) + 1
     assert got_pairs == ref_sc.pair_counts
+
+
+@pytest.mark.parametrize("dp,mp", [(4, 2), (2, 4), (8, 1)])
+def test_dist_sortjoin_matches_single(setup, dp, mp):
+    import jax
+
+    from cammiq_tpu.parallel.dist_query import DistSortJoinSession
+
+    art, rs, G, ref, ref_sc = setup
+    if dp * mp > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = make_mesh(dp, mp)
+    ds = DistSortJoinSession(mesh, art.unique_index, art.doubly_index, G,
+                             sc_mode=True)
+    out = ds.classify(rs.codes, rs.lengths)
+    np.testing.assert_array_equal(out.cnts_u, ref.cnts_u)
+    np.testing.assert_array_equal(out.cnts_d, ref.cnts_d)
+    np.testing.assert_array_equal(out.rcount_u, ref.rcount_u)
+    np.testing.assert_array_equal(out.rcount_d, ref.rcount_d)
+    assert out.nundet == ref.nundet
+    assert out.nconf == ref.nconf
