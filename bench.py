@@ -42,7 +42,7 @@ def build_bench_index(num_genomes=64, glen=50_000, seed=0):
     return corpus, genomes, art
 
 
-def sample_read_batch(rng, genomes, batch, L=100, Lpad=112, erate=0.01):
+def sample_read_batch(rng, genomes, batch, L=100, Lpad=100, erate=0.01):
     num = len(genomes)
     codes = np.zeros((batch, Lpad), np.int8)
     lengths = np.full(batch, L, np.int32)

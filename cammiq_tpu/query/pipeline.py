@@ -84,7 +84,16 @@ class QuerySession:
             from .sortjoin import build_merged_index, make_sortjoin_classifier, to_device_merged
 
             dm = to_device_merged(build_merged_index(index_u, index_d))
-            inner = make_sortjoin_classifier(dm, num_genome_slots)
+            classifiers = {}
+
+            def get_classifier(frac, maxm):
+                key = (frac, maxm)
+                if key not in classifiers:
+                    classifiers[key] = make_sortjoin_classifier(
+                        dm, num_genome_slots,
+                        hit_capacity_frac=frac, maxm=maxm,
+                    )
+                return classifiers[key]
 
             def wrapped(codes, lengths, with_rcounts=True, sc_mode=False):
                 import numpy as _np
@@ -92,14 +101,24 @@ class QuerySession:
                 ln = _np.asarray(lengths)
                 real = ln[ln > 0]
                 ul = int(real[0]) if real.size and (real == real[0]).all() and (ln > 0).all() else None
-                out, ovh, ovs = inner(codes, lengths,
-                                      with_rcounts=with_rcounts, sc_mode=sc_mode,
-                                      uniform_len=ul)
-                if int(ovh) or int(ovs):
-                    raise RuntimeError(
-                        f"sort-join capacity overflow (hits={int(ovh)}, "
-                        f"slots={int(ovs)}); increase capacities")
-                return out
+                frac, maxm = 16, 32
+                while True:
+                    inner = get_classifier(frac, maxm)
+                    out, ovh, ovs = inner(codes, lengths,
+                                          with_rcounts=with_rcounts,
+                                          sc_mode=sc_mode, uniform_len=ul)
+                    if not (int(ovh) or int(ovs)):
+                        return out
+                    # capacity overflow: widen and retry (recompiles once
+                    # per capacity tier, then cached)
+                    if int(ovh):
+                        frac = max(frac // 2, 1)
+                    if int(ovs):
+                        maxm *= 2
+                    if frac < 1 or maxm > 4096:
+                        raise RuntimeError(
+                            f"sort-join capacity overflow persists "
+                            f"(hits={int(ovh)}, slots={int(ovs)})")
 
             self._classify = wrapped
         else:
@@ -134,8 +153,9 @@ class QuerySession:
             bs = max(256, 1 << (max(reads.num_reads - 1, 1)).bit_length())
             bs = min(bs, self.cfg.batch_size)
         if reads.num_reads:
-            lp_eff = int(reads.lengths.max())
-            lp_eff = min(reads.codes.shape[1], (lp_eff + 15) // 16 * 16)
+            # trim the batch width to the longest read: every extra column
+            # adds probe offsets to the hot loop
+            lp_eff = min(reads.codes.shape[1], int(reads.lengths.max()))
             if lp_eff < reads.codes.shape[1]:
                 reads = ReadSet(
                     codes=reads.codes[:, :lp_eff], lengths=reads.lengths,
