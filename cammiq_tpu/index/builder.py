@@ -63,6 +63,12 @@ def _lcp(seq: np.ndarray, sa: np.ndarray, engine: str) -> np.ndarray:
         if native.available():
             return native.lcp_kasai(seq, sa)
         engine = "numpy"
+    if engine == "jax":
+        from ..ops.lcp import LCP_CLAMP, lcp_jax
+
+        return np.asarray(
+            lcp_jax(seq, np.asarray(sa, np.int32), max_lcp=LCP_CLAMP)
+        ).astype(np.int64)
     return lcp_from_sa_numpy(seq, sa)
 
 
@@ -71,11 +77,14 @@ def build_index(
     cfg: BuildConfig,
     engine: str = "auto",
     verbose: bool = False,
+    stage_dir: Optional[str] = None,
 ) -> BuildArtifacts:
-    """Run the full build pipeline on the host.
+    """Run the full build pipeline.
 
     engine: 'auto' (native C++ if built, else numpy), 'native', 'numpy',
-    or 'jax' (on-device SA via prefix doubling; host for the rest).
+    or 'jax' (SA/LCP/LCP0/MU/OCC on device).
+    stage_dir: optional directory for disk staging of the SA/LCP stages
+    (resume support + RAM relief, the reference's gsa.bin/lcp.bin spills).
     """
     timings = Timings()
     if engine == "auto":
@@ -83,15 +92,22 @@ def build_index(
 
         engine = "native" if native.available() else "numpy"
 
+    store = None
+    if stage_dir is not None:
+        from .staging import StageStore
+
+        store = StageStore(stage_dir)
+
+    from .staging import staged
+
     n = corpus.n
     device = engine == "jax"
     # the reference computes the SA over n + sentinels but keeps ranks of
     # the n real suffixes only (divsufsort over n chars; src/build.cpp:286)
     with stage_timer("computing suffix array", timings, verbose):
-        sa_full = _suffix_array(corpus.seq, engine)
-        sa = sa_full[:n]
+        sa = staged(store, "sa", lambda: _suffix_array(corpus.seq, engine)[:n])
     with stage_timer("computing LCP array", timings, verbose):
-        lcp = _lcp(corpus.seq, sa, engine)
+        lcp = staged(store, "lcp", lambda: _lcp(corpus.seq, sa, engine))
     with stage_timer("computing generalized suffix array", timings, verbose):
         gsa = compute_gsa(sa, corpus.ref_pos, corpus.ref_id)
 

@@ -86,3 +86,20 @@ def test_builder_jax_engine_matches_numpy():
             getattr(a.doubly_index, attr), getattr(b.doubly_index, attr))
     np.testing.assert_array_equal(a.ulm_count_u, b.ulm_count_u)
     np.testing.assert_array_equal(a.ulm_count_d, b.ulm_count_d)
+
+
+def test_builder_stage_resume(tmp_path):
+    from cammiq_tpu.config import BuildConfig
+    from cammiq_tpu.index.builder import build_index
+
+    rng = np.random.default_rng(5)
+    corpus = make(rng, ng=3, cl=150)
+    cfg = BuildConfig(k=12, L=60, Lmax=30, h=12, mode="unique")
+    sd = str(tmp_path / "stages")
+    a = build_index(corpus, cfg, engine="numpy", stage_dir=sd)
+    # second run must reuse the staged SA/LCP and produce identical output
+    b = build_index(corpus, cfg, engine="numpy", stage_dir=sd)
+    np.testing.assert_array_equal(a.unique_index.key_words, b.unique_index.key_words)
+    np.testing.assert_array_equal(a.ulm_count_u, b.ulm_count_u)
+    import os
+    assert os.path.exists(os.path.join(sd, "sa.bin"))
