@@ -38,7 +38,7 @@ def parse_args(argv: List[str]) -> dict:
         "read_cnt_thres": -1.0, "easy_thres": -1.0, "ilp_eps": -1.0,
         "ilp_alpha": -1.0, "max_cov": -1.0,
         "u_thres": -1.0, "d_thres": -1.0,
-        "engine": "auto",
+        "engine": "auto", "profile": "",
     }
     i = 0
     while i < len(argv):
@@ -91,6 +91,9 @@ def parse_args(argv: List[str]) -> dict:
         elif v == "--engine":
             i += 1
             a["engine"] = argv[i]
+        elif v == "--profile":
+            i += 1
+            a["profile"] = argv[i]
         elif v == "-k":
             i += 1
             a["K"] = int(argv[i])
@@ -236,6 +239,10 @@ def run_query(a: dict) -> None:
 
     gl, nus, nds = table.arrays()
     mode = "w"
+    from .utils.profiling import device_trace
+
+    prof = device_trace(a.get("profile") or None)
+    prof.__enter__()
     for fi, path in enumerate(files):
         reads = read_fastq(path, min_len=a["min_rl"])
         sc = a["id_mode"] > 0
@@ -272,6 +279,7 @@ def run_query(a: dict) -> None:
                 )
                 outmod.write_counts_row(f, name, redist, table.n_species)
         mode = "a"
+    prof.__exit__(None, None, None)
 
 
 def main(argv: Optional[List[str]] = None) -> None:

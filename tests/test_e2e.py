@@ -177,3 +177,46 @@ def test_quant_lognormal_abundances(toy_db, built_idx, tmp_path):
             assert gid in got, (gid, ab, got)
     l1 = sum(abs(got.get(g, 0.0) - truth[g]) for g in truth)
     assert l1 < 0.1, (l1, got, truth)
+
+
+def test_multi_file_query(toy_db, built_idx, tmp_path):
+    """Multiple -q files: per-file blocks, counters reset between files
+    (reference resetCounters, src/query.cpp:259-260)."""
+    root, db, map_file, entries = toy_db
+    fqs = []
+    for k in range(2):
+        fq = tmp_path / f"multi{k}.fq"
+        simulate(str(map_file), str(db), str(fq), str(tmp_path / f"t{k}.out"),
+                 num_reads=1500, L=100, erate=0.0, seed=20 + k,
+                 genome_ids=[str(1000 + k), str(1001 + k)])
+        fqs.append(str(fq))
+    out = tmp_path / "multi.out"
+    cli_main([
+        "--query", "-f", str(map_file),
+        "-i", str(built_idx / "index_u.npz"), str(built_idx / "index_d.npz"),
+        "-q", *fqs, "-o", str(out),
+    ])
+    blocks = parse_quant_output(str(out))
+    assert len(blocks) == 2
+    t0 = sorted(t for t, _, _ in blocks[0]["rows"])
+    t1 = sorted(t for t, _, _ in blocks[1]["rows"])
+    assert t0 == [1000, 1001]
+    assert t1 == [1001, 1002]
+
+
+def test_read_length_filter(toy_db, built_idx, tmp_path):
+    root, db, map_file, entries = toy_db
+    fq = tmp_path / "var.fq"
+    simulate(str(map_file), str(db), str(fq), str(tmp_path / "tv.out"),
+             num_reads=400, L=100, L_std=20.0, erate=0.0, seed=9)
+    out = tmp_path / "var.out"
+    cli_main([
+        "--query", "--read_cnts",
+        "-f", str(map_file),
+        "-i", str(built_idx / "index_u.npz"), str(built_idx / "index_d.npz"),
+        "-q", str(fq), "-o", str(out),
+        "--read_length_filter", "90",
+    ])
+    lines = open(out).read().strip().split("\n")
+    counts = [int(x) for x in lines[1].split("\t")[1:]]
+    assert sum(counts) > 0
