@@ -1,16 +1,17 @@
 """Pallas TPU kernel: single-pass segmented first-of-run propagation.
 
 The sort-join probe propagates each prefix-run's head values (bucket
-start/count/table-flag) onto the run's probe rows.  XLA's
-associative_scan does this in O(log n) full passes over HBM; this kernel
-does ONE pass: the TPU grid executes sequentially per core, so a carry in
-SMEM scratch flows across blocks; within a block, each of the 8 sublane
-rows does a log2(width) doubling sweep and an 8-step cross-row carry
-chain stitches them (elements are laid out row-major: block = 8
-consecutive chunks of WIDTH).
+id / table-flag) onto the run's probe rows.  XLA's associative_scan does
+this in O(log n) full passes over HBM; this kernel does ONE pass: the
+TPU grid executes sequentially per core, so a carry in SMEM scratch
+flows across blocks; within a block, each of the 8 sublane rows does a
+log2(width) doubling sweep and an 8-step cross-row carry chain stitches
+them (elements are laid out row-major: block = 8 consecutive chunks of
+WIDTH).
 
 out[i] = values[j] at the last j <= i with is_start[j] = 1 (0 if none).
 
+Supports any number of int32 value columns (kernel built per count).
 Falls back to the associative-scan implementation off-TPU.
 """
 
@@ -23,67 +24,69 @@ WIDTH = 2048
 BLOCK = ROWS * WIDTH
 
 
-def _kernel(flags_ref, v0_ref, v1_ref, v2_ref, o0_ref, o1_ref, o2_ref,
-            carry_ref):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
+def _make_kernel(nv: int):
+    def _kernel(*refs):
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
 
-    i = pl.program_id(0)
+        flags_ref = refs[0]
+        v_refs = refs[1 : 1 + nv]
+        o_refs = refs[1 + nv : 1 + 2 * nv]
+        carry_ref = refs[1 + 2 * nv]
 
-    f = flags_ref[...]          # [ROWS, WIDTH] int32 (1 = run start)
-    vals = [v0_ref[...], v1_ref[...], v2_ref[...]]
+        i = pl.program_id(0)
 
-    # per-row propagate: doubling sweep along the width axis
-    outs = [jnp.where(f > 0, v, 0) for v in vals]
-    seen = f
-    d = 1
-    while d < WIDTH:
-        pad = jnp.zeros((ROWS, d), jnp.int32)
-        shifted_seen = jnp.concatenate([pad, seen[:, :-d]], axis=1)
-        outs = [
-            jnp.where(seen > 0, o,
-                      jnp.concatenate([pad, o[:, :-d]], axis=1))
-            for o in outs
-        ]
-        seen = jnp.maximum(seen, shifted_seen)
-        d *= 2
+        f = flags_ref[...]          # [ROWS, WIDTH] int32 (1 = run start)
+        vals = [r[...] for r in v_refs]
 
-    # cross-row carry chain (rows are consecutive chunks)
-    @pl.when(i == 0)
-    def _():
-        carry_ref[0, 0] = 0
-        carry_ref[0, 1] = 0
-        carry_ref[0, 2] = 0
-        carry_ref[0, 3] = 0
+        # per-row propagate: doubling sweep along the width axis
+        outs = [jnp.where(f > 0, v, 0) for v in vals]
+        seen = f
+        d = 1
+        while d < WIDTH:
+            pad = jnp.zeros((ROWS, d), jnp.int32)
+            shifted_seen = jnp.concatenate([pad, seen[:, :-d]], axis=1)
+            outs = [
+                jnp.where(seen > 0, o,
+                          jnp.concatenate([pad, o[:, :-d]], axis=1))
+                for o in outs
+            ]
+            seen = jnp.maximum(seen, shifted_seen)
+            d *= 2
 
-    c = [carry_ref[0, k] for k in range(3)]
-    cseen = carry_ref[0, 3]
-    new_rows = [[], [], []]
-    seen_rows = []
-    for r in range(ROWS):
-        row_seen = seen[r]
-        for k in range(3):
-            new_rows[k].append(jnp.where(row_seen > 0, outs[k][r], c[k]))
-        seen_rows.append(jnp.maximum(row_seen, cseen))
-        c = [new_rows[k][r][WIDTH - 1] for k in range(3)]
-        cseen = seen_rows[r][WIDTH - 1]
+        # cross-row carry chain (rows are consecutive chunks)
+        @pl.when(i == 0)
+        def _():
+            for k in range(nv + 1):
+                carry_ref[0, k] = 0
 
-    o0_ref[...] = jnp.stack(new_rows[0])
-    o1_ref[...] = jnp.stack(new_rows[1])
-    o2_ref[...] = jnp.stack(new_rows[2])
+        c = [carry_ref[0, k] for k in range(nv)]
+        cseen = carry_ref[0, nv]
+        new_rows = [[] for _ in range(nv)]
+        seen_rows = []
+        for r in range(ROWS):
+            row_seen = seen[r]
+            for k in range(nv):
+                new_rows[k].append(jnp.where(row_seen > 0, outs[k][r], c[k]))
+            seen_rows.append(jnp.maximum(row_seen, cseen))
+            c = [new_rows[k][r][WIDTH - 1] for k in range(nv)]
+            cseen = seen_rows[r][WIDTH - 1]
 
-    carry_ref[0, 0] = c[0]
-    carry_ref[0, 1] = c[1]
-    carry_ref[0, 2] = c[2]
-    carry_ref[0, 3] = cseen
+        for k in range(nv):
+            o_refs[k][...] = jnp.stack(new_rows[k])
+
+        for k in range(nv):
+            carry_ref[0, k] = c[k]
+        carry_ref[0, nv] = cseen
+
+    return _kernel
 
 
-def first_of_run_scan_pallas(is_start, v0, v1, v2):
-    """Single-pass propagation of (v0, v1, v2) from run starts.
+def first_of_run_scan_pallas(is_start, *values):
+    """Single-pass propagation of values from run starts.
 
-    is_start: bool [n]; v*: int32 [n].  n padded internally to BLOCK.
-    Positions before the first start get 0 (callers guarantee
+    is_start: bool [n]; values: int32 [n] each.  n padded internally to
+    BLOCK.  Positions before the first start get 0 (callers guarantee
     is_start[0] = True, as the sorted join array does).
     """
     import jax
@@ -91,6 +94,7 @@ def first_of_run_scan_pallas(is_start, v0, v1, v2):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    nv = len(values)
     n = is_start.shape[0]
     npad = (n + BLOCK - 1) // BLOCK * BLOCK
     grid = npad // BLOCK
@@ -102,23 +106,24 @@ def first_of_run_scan_pallas(is_start, v0, v1, v2):
         return x.reshape(grid * ROWS, WIDTH)
 
     flags = pad(is_start.astype(jnp.int32))
-    vs = [pad(v) for v in (v0, v1, v2)]
+    vs = [pad(v) for v in values]
 
     interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
-        _kernel,
+        _make_kernel(nv),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((ROWS, WIDTH), lambda i: (i, 0)) for _ in range(4)
+            pl.BlockSpec((ROWS, WIDTH), lambda i: (i, 0))
+            for _ in range(nv + 1)
         ],
         out_specs=[
-            pl.BlockSpec((ROWS, WIDTH), lambda i: (i, 0)) for _ in range(3)
+            pl.BlockSpec((ROWS, WIDTH), lambda i: (i, 0)) for _ in range(nv)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((grid * ROWS, WIDTH), jnp.int32)
-            for _ in range(3)
+            for _ in range(nv)
         ],
-        scratch_shapes=[pltpu.SMEM((1, 4), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1, nv + 1), jnp.int32)],
         interpret=interpret,
     )(flags, *vs)
     return tuple(o.reshape(npad)[:n] for o in outs)
@@ -129,8 +134,8 @@ def first_of_run_scan(is_start, *values, use_pallas: bool | None = None):
     import jax
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",) and len(values) == 3
-    if use_pallas and len(values) == 3:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
         try:
             return first_of_run_scan_pallas(is_start, *values)
         except Exception:

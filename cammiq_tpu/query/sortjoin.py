@@ -238,19 +238,30 @@ def collect_matches_sortjoin(
     klo = (W0 & m0).reshape(-1)
     N = 2 * B * O
 
-    # ---- sort-merge join of probe prefixes with table prefixes
+    # ---- sort-merge join of probe prefixes with table prefixes.
+    # (hi, lo, tag) is fused into 2 sort words — hi has at most 30 live
+    # bits (h <= 31 -> 2*(h-16)), so hi picks up lo's top bit and lo picks
+    # up the tag bit — and the 3 value columns (bucket start/count/pos)
+    # collapse into ONE: bucket id for table rows (start/count gathered
+    # later at compacted-K granularity), probe position for probe rows.
+    # Payload: 3 arrays x (N+NB) instead of 6 — the join sort is the
+    # single largest HBM consumer in the hot loop.
     jlo = jnp.concatenate([dm.pref_lo, klo])
     jhi = jnp.concatenate([dm.pref_hi, khi])
-    jtag = jnp.concatenate([jnp.zeros(NB, jnp.int32), jnp.ones(N, jnp.int32)])
-    jstart = jnp.concatenate([dm.bucket_start, jnp.zeros(N, jnp.int32)])
-    jcnt = jnp.concatenate([dm.bucket_count, jnp.zeros(N, jnp.int32)])
-    jpos = jnp.concatenate([jnp.full(NB, -1, jnp.int32),
-                            jnp.arange(N, dtype=jnp.int32)])
-    shi, slo, stag, sstart, scnt, spos = jax.lax.sort(
-        [jhi, jlo, jtag, jstart, jcnt, jpos], num_keys=3
+    jtag = jnp.concatenate(
+        [jnp.zeros(NB, jnp.uint32), jnp.ones(N, jnp.uint32)]
     )
+    jfhi = (jhi << 1) | (jlo >> 31)
+    jflo = (jlo << 1) | jtag
+    jval = jnp.concatenate(
+        [jnp.arange(NB, dtype=jnp.int32), jnp.arange(N, dtype=jnp.int32)]
+    )
+    sfhi, sflo, sval = jax.lax.sort([jfhi, jflo, jval], num_keys=2)
+    stag = (sflo & 1).astype(jnp.int32)
+    srun = sflo >> 1  # lo without the tag bit
     is_start = jnp.concatenate(
-        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+        [jnp.ones(1, bool),
+         (sfhi[1:] != sfhi[:-1]) | (srun[1:] != srun[:-1])]
     )
     # first-of-run is the table row iff the bucket exists (tag sorts first)
     has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
@@ -262,13 +273,9 @@ def collect_matches_sortjoin(
     ):
         from ..ops.pallas_scan import first_of_run_scan_pallas
 
-        pstart, pcnt, ptab = first_of_run_scan_pallas(
-            is_start, sstart, scnt, has_tab
-        )
+        pbid, ptab = first_of_run_scan_pallas(is_start, sval, has_tab)
     else:
-        pstart, pcnt, ptab = _first_of_run_scan(
-            is_start, sstart, scnt, has_tab
-        )
+        pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
     probe_hit = (stag == 1) & (ptab > 0)
 
     # ---- compact hits to capacity K: a single 1-key sort on a fused
@@ -281,9 +288,10 @@ def collect_matches_sortjoin(
     skey = jnp.sort(fkey)[:K]
     cv = skey < BIGOFF
     crow_c = jnp.where(cv, skey, 0)
-    cpos = jnp.where(cv, spos[crow_c], -1)
-    cstart = jnp.where(cv, pstart[crow_c], 0)
-    ccnt = jnp.where(cv, pcnt[crow_c], 0)
+    cpos = jnp.where(cv, sval[crow_c], -1)
+    cbid = pbid[crow_c]
+    cstart = jnp.where(cv, dm.bucket_start[cbid], 0)
+    ccnt = jnp.where(cv, dm.bucket_count[cbid], 0)
     n_hits = jnp.sum(probe_hit.astype(jnp.int32))
     overflow_hits = jnp.maximum(n_hits - K, 0)
 
