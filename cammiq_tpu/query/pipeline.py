@@ -101,7 +101,7 @@ class QuerySession:
                 ln = _np.asarray(lengths)
                 real = ln[ln > 0]
                 ul = int(real[0]) if real.size and (real == real[0]).all() and (ln > 0).all() else None
-                frac, maxm = 16, 32
+                frac, maxm = 64, 16
                 while True:
                     inner = get_classifier(frac, maxm)
                     out, ovh, ovs = inner(codes, lengths,

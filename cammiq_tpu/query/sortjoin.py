@@ -181,9 +181,10 @@ def collect_matches_sortjoin(
     dm: DeviceMergedIndex,
     codes,
     lengths,
-    hit_capacity_frac: int = 16,
+    hit_capacity_frac: int = 64,
     maxm: int = 32,
     uniform_len: int | None = None,
+    return_compact: bool = False,
 ):
     """MatchSlots [B, maxm] via the sort-join probe.
 
@@ -191,6 +192,9 @@ def collect_matches_sortjoin(
     uniform_len: if every read has this exact length, the reverse
     complement is computed gather-free (flip + complement).
     Also returns (overflow_hits, overflow_slots) diagnostics.
+    return_compact: additionally return the compacted distinct match rows
+    (read_id [2K], gid [2K], distinct mask [2K]) so rcounts can be
+    scattered at match granularity (~hits) instead of B*maxm slots.
     """
     import jax
     import jax.numpy as jnp
@@ -371,11 +375,13 @@ def collect_matches_sortjoin(
     hit = slots < BIG
     in_u = hit & (slots < dm.eu)
     ms = MatchSlots(slots=slots, rid1=rid1, rid2=rid2, in_u=in_u)
+    if return_compact:
+        return ms, overflow_hits, overflow_slots, (sread, sgid, distinct)
     return ms, overflow_hits, overflow_slots
 
 
 def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
-                             hit_capacity_frac: int = 16, maxm: int = 32):
+                             hit_capacity_frac: int = 64, maxm: int = 32):
     """Two-jit classifier: (collect+case) and (rcounts) compile separately
     - the fused single program both compiles slower and runs slower on
     the TPU backend here.
@@ -386,31 +392,38 @@ def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
     import jax
     import jax.numpy as jnp
 
-    from .classify import BatchCounts, CaseResult, case_analysis, rcounts_from_case
+    from .classify import BatchCounts, case_analysis
 
     @partial_jit(static_argnames=("sc_mode", "uniform_len"))
     def part1(codes, lengths, sc_mode, uniform_len):
-        ms, ovh, ovs = collect_matches_sortjoin(
+        ms, ovh, ovs, compact = collect_matches_sortjoin(
             dm, codes, lengths, hit_capacity_frac=hit_capacity_frac,
-            maxm=maxm, uniform_len=uniform_len,
+            maxm=maxm, uniform_len=uniform_len, return_compact=True,
         )
         case = case_analysis(ms, lengths, num_genome_slots, sc_mode=sc_mode)
-        return case, ovh, ovs
+        return case, ovh, ovs, compact
 
     @partial_jit(static_argnames=())
-    def part2(dslot, sslots, assigned):
-        case = CaseResult(None, None, assigned, dslot, sslots,
-                          None, None, None, None)
-        rcu = rcounts_from_case(case, 0, max(dm.eu, 1))
-        rcd = rcounts_from_case(case, dm.eu, max(dm.ed, 1))
-        return rcu, rcd
+    def part2(sread, sgid, distinct, assigned):
+        # rcount[e] = #assigned reads whose distinct match set contains e,
+        # scattered from the ~hits-sized compact rows instead of B*maxm
+        # slots (the compact rows are exactly the distinct (read, entry)
+        # pairs when no slot overflow occurred; overflow retries anyway)
+        B = assigned.shape[0]
+        etot = max(dm.eu + dm.ed, 1)
+        ok = distinct & (sread < B)
+        rr = jnp.minimum(sread, B - 1)
+        ok = ok & assigned[rr]
+        tgt = jnp.where(ok, jnp.minimum(sgid, etot), etot)
+        rc = jnp.zeros(etot + 1, jnp.int32).at[tgt].add(1)[:etot]
+        return rc[: dm.eu], rc[dm.eu : dm.eu + dm.ed]
 
     def classify(codes, lengths, with_rcounts=True, sc_mode=False,
                  uniform_len=None):
-        case, ovh, ovs = part1(codes, lengths, sc_mode=sc_mode,
-                               uniform_len=uniform_len)
+        case, ovh, ovs, compact = part1(codes, lengths, sc_mode=sc_mode,
+                                        uniform_len=uniform_len)
         if with_rcounts:
-            rcu, rcd = part2(case.dslot, case.sslots, case.assigned)
+            rcu, rcd = part2(*compact, case.assigned)
             if dm.eu == 0:
                 rcu = jnp.zeros(0, jnp.int32)
             if dm.ed == 0:
@@ -447,7 +460,7 @@ def classify_batch_sortjoin(
     num_genome_slots: int,
     with_rcounts: bool = True,
     sc_mode: bool = False,
-    hit_capacity_frac: int = 16,
+    hit_capacity_frac: int = 64,
     maxm: int = 32,
     uniform_len: int | None = None,
 ):
