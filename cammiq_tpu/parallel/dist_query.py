@@ -184,14 +184,22 @@ def _shard_arrays(s: ShardedIndex) -> dict:
 
 def shard_merged_index(m, mp: int):
     """Split a MergedIndex into mp bucket-aligned equal-shape shards
-    (stacked leading axis).  Padded prefixes use an impossible key
-    (0xFFFFFFFF exceeds any masked h-prefix), padded entries a
-    never-matching length."""
+    (stacked leading axis).  Padded bucket rows carry bucket_count=0 and
+    sort after real rows within a hash-tied run (row ids are part of the
+    join sort key), so they can never shadow a real bucket; padded
+    entries use a never-matching length."""
     from ..query.sortjoin import MergedIndex
 
     NB = m.pref_lo.shape[0]
     E = m.length.shape[0]
     cuts_b = [NB * i // mp for i in range(mp + 1)]
+    # snap cuts forward so bucket rows sharing one entry span (hash
+    # collisions merged by hlo) never split across shards
+    for i in range(1, mp):
+        c = cuts_b[i]
+        while 0 < c < NB and m.bucket_start[c] == m.bucket_start[c - 1]:
+            c += 1
+        cuts_b[i] = min(max(c, cuts_b[i - 1]), NB)
     nb_pad = max(1, max(cuts_b[i + 1] - cuts_b[i] for i in range(mp)))
     # entry ranges follow bucket ranges
     e_lo = [int(m.bucket_start[cuts_b[i]]) if cuts_b[i] < NB else E for i in range(mp)]

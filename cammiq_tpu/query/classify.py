@@ -167,8 +167,9 @@ def case_analysis(ms: MatchSlots, lengths, num_genome_slots: int,
     B, S = slots.shape
 
     # sort by slot id; carry payloads
+    # unstable: equal slot ids carry identical payloads
     sslots, rid1, rid2 = jax.lax.sort(
-        [slots, rid1_s, rid2_s], dimension=1, num_keys=1
+        [slots, rid1_s, rid2_s], dimension=1, num_keys=1, is_stable=False
     )
     valid = sslots < BIG
     firstocc = jnp.concatenate(
@@ -190,7 +191,9 @@ def case_analysis(ms: MatchSlots, lengths, num_genome_slots: int,
 
     plo = jnp.where(is_pair, jnp.minimum(rid1, rid2), BIG)
     phi = jnp.where(is_pair, jnp.maximum(rid1, rid2), BIG)
-    plo_s, phi_s = jax.lax.sort([plo, phi], dimension=1, num_keys=2)
+    plo_s, phi_s = jax.lax.sort(
+        [plo, phi], dimension=1, num_keys=2, is_stable=False
+    )
     pv_valid = plo_s < BIG
     pair_first = jnp.concatenate(
         [

@@ -6,12 +6,15 @@ primitive on TPU.  This engine replaces the hash-table lookup with a
 sort-merge join, TPU's fastest primitive:
 
 1. both tables' entries are merged host-side into one bucket list keyed by
-   the h-base prefix (entries keep a u/d tag);
-2. per batch, all probe prefixes (2 strands x offsets) are concatenated
-   with the table's unique prefixes and sorted together (lax.sort,
-   radix-friendly int keys); a first-of-run associative scan propagates
-   each bucket's (start, count) onto the probe rows with an equal prefix -
-   zero gathers, exact (no false positives);
+   a 41-bit HASH of the h-base prefix (entries keep a u/d tag); bucket
+   entry spans are keyed by the 32-bit primary hash, so prefixes that
+   collide share a span and the verify stage separates them;
+2. per batch, all probe prefix hashes (2 strands x offsets) are
+   concatenated with the bucket hashes and sorted together (lax.sort on
+   just TWO fused words: primary hash | (secondary hash, tag, row id));
+   a first-of-run associative scan propagates each bucket row onto the
+   probe rows with an equal hash - zero gathers, and no probe that
+   matches an entry can miss its bucket;
 3. probe rows that joined a bucket are compacted to a fixed capacity K
    (cumsum + scatter), so the masked-compare bucket scan does its gathers
    on ~hit-rate * N positions instead of N;
@@ -52,11 +55,39 @@ class MergedIndex:
     rid2: np.ndarray          # int32 [E]
     gid: np.ndarray           # int32 [E] global id (u: [0,Eu), d: [Eu,Eu+Ed))
     is_d: np.ndarray          # bool [E]
-    # unique prefixes (sorted by (hi, lo)) with bucket ranges
-    pref_lo: np.ndarray       # uint32 [NB]
-    pref_hi: np.ndarray       # uint32 [NB]
-    bucket_start: np.ndarray  # int32 [NB]
-    bucket_count: np.ndarray  # int32 [NB]
+    # bucket rows: one per distinct (hlo, hhi) prefix hash; rows sharing
+    # an hlo (prefix collisions) reference the same full entry span
+    pref_lo: np.ndarray       # uint32 [NB] primary 32-bit prefix hash
+    pref_hi: np.ndarray       # uint32 [NB] secondary 9-bit prefix hash
+    bucket_start: np.ndarray  # int32 [NB] entry span start (per hlo)
+    bucket_count: np.ndarray  # int32 [NB] entry span length
+
+
+_HHI_BITS = 9  # secondary-hash width stored per bucket row
+
+
+def _hash_prefix(lo, hi, xp=np):
+    """Mix a (lo, hi) 2x32-bit packed h-prefix into a 32-bit primary hash
+    and a 9-bit secondary hash (murmur3-style finalizers; identical uint32
+    wraparound arithmetic under numpy and jax.numpy).
+
+    The sort-join joins probes to buckets on (hlo, hhi) hash equality
+    instead of the exact 52-bit prefix: the bucket scan fully verifies
+    every candidate entry against the read, so a hash collision can only
+    add a rejected candidate, never a wrong match.  Missed matches are
+    impossible because bucket spans are keyed by hlo alone (equal prefix
+    => equal hashes => joins the bucket's run)."""
+    C = xp.uint32
+    lo = lo.astype(xp.uint32)
+    hi = hi.astype(xp.uint32)
+    x = lo ^ (hi * C(0x9E3779B1))
+    x = (x ^ (x >> C(16))) * C(0x85EBCA6B)
+    x = (x ^ (x >> C(13))) * C(0xC2B2AE35)
+    x = x ^ (x >> C(16))
+    y = hi ^ (lo * C(0x27D4EB2F))
+    y = (y ^ (y >> C(15))) * C(0x165667B1)
+    y = y ^ (y >> C(13))
+    return x, y & C((1 << _HHI_BITS) - 1)
 
 
 def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> MergedIndex:
@@ -102,24 +133,37 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
         )
 
     plo, phi = _prefix_lo_hi(key_words, h)
-    order = np.lexsort((length, plo, phi))
+    hlo, hhi = _hash_prefix(plo, phi)
+    # group entries by primary hash (prefixes colliding in hlo merge into
+    # one span; the probe-time verify separates them), then secondary
+    # hash, then prefix
+    order = np.lexsort((length, plo, phi, hhi, hlo))
     key_words = key_words[order]
     length = length[order]
     rid1, rid2 = rid1[order], rid2[order]
     gid, is_d = gid[order], is_d[order]
-    plo, phi = plo[order], phi[order]
+    hlo, hhi = hlo[order], hhi[order]
+    # spans: runs of equal hlo (the scannable entry ranges)
+    newspan = np.ones(E, bool)
+    newspan[1:] = hlo[1:] != hlo[:-1]
+    span_id = np.cumsum(newspan) - 1
+    sstart = np.nonzero(newspan)[0]
+    scount = np.diff(np.concatenate([sstart, [E]]))
+    # bucket rows: one per distinct (hlo, hhi); collision rows of one span
+    # each reference the FULL span, so a probe joining under any hhi mask
+    # width still scans every candidate of its hlo
     newb = np.ones(E, bool)
-    newb[1:] = (plo[1:] != plo[:-1]) | (phi[1:] != phi[:-1])
-    bstart = np.nonzero(newb)[0]
-    bcount = np.diff(np.concatenate([bstart, [E]]))
+    newb[1:] = newspan[1:] | (hhi[1:] != hhi[:-1])
+    brow = np.nonzero(newb)[0]
     return MergedIndex(
-        h=h, kw=kw, eu=eu, ed=ed, max_bucket=int(bcount.max()),
+        h=h, kw=kw, eu=eu, ed=ed, max_bucket=int(scount.max()),
         key_words=key_words.astype(np.uint32),
         length=length.astype(np.int32),
         rid1=rid1.astype(np.int32), rid2=rid2.astype(np.int32),
         gid=gid.astype(np.int32), is_d=is_d,
-        pref_lo=plo[bstart].astype(np.uint32), pref_hi=phi[bstart].astype(np.uint32),
-        bucket_start=bstart.astype(np.int32), bucket_count=bcount.astype(np.int32),
+        pref_lo=hlo[brow].astype(np.uint32), pref_hi=hhi[brow].astype(np.uint32),
+        bucket_start=sstart[span_id[brow]].astype(np.int32),
+        bucket_count=scount[span_id[brow]].astype(np.int32),
     )
 
 
@@ -229,11 +273,16 @@ def collect_matches_sortjoin(
             )
         return sl[:, :O]
 
-    W0 = window_word(0)
-    W1 = window_word(1)
+    # probe words laid out [2B*O, kw]: the kw verify words of every
+    # (read, offset) candidate become ONE contiguous row-gather later
+    # (scalar gathers are ~10ns each on TPU; rows amortize)
+    p16s = jnp.stack([window_word(w) for w in range(kw)], axis=-1)
+    p16s = p16s.reshape(-1, kw)
+    W0 = p16s[:, 0].reshape(2 * B, O)
     nb0 = min(h, 16)
     m0 = jnp.uint32(0xFFFFFFFF if nb0 >= 16 else (1 << (2 * nb0)) - 1)
     if h > 16:
+        W1 = p16s[:, 1].reshape(2 * B, O) if kw > 1 else window_word(1)
         nb1 = h - 16
         m1 = jnp.uint32(0xFFFFFFFF if nb1 >= 16 else (1 << (2 * nb1)) - 1)
         khi = (W1 & m1).reshape(-1)
@@ -242,30 +291,38 @@ def collect_matches_sortjoin(
     klo = (W0 & m0).reshape(-1)
     N = 2 * B * O
 
-    # ---- sort-merge join of probe prefixes with table prefixes.
-    # (hi, lo, tag) is fused into 2 sort words — hi has at most 30 live
-    # bits (h <= 31 -> 2*(h-16)), so hi picks up lo's top bit and lo picks
-    # up the tag bit — and the 3 value columns (bucket start/count/pos)
-    # collapse into ONE: bucket id for table rows (start/count gathered
-    # later at compacted-K granularity), probe position for probe rows.
-    # Payload: 3 arrays x (N+NB) instead of 6 — the join sort is the
-    # single largest HBM consumer in the hot loop.
-    jlo = jnp.concatenate([dm.pref_lo, klo])
-    jhi = jnp.concatenate([dm.pref_hi, khi])
+    # ---- sort-merge join of probe prefixes with table buckets, on a
+    # HASHED key: word1 = 32-bit primary hash, word2 fuses the secondary
+    # hash | tag | row id, so the whole join sorts TWO operands (the join
+    # sort is the single largest HBM consumer in the hot loop).  A hash
+    # false-join only wastes a compaction slot — the bucket scan fully
+    # verifies candidates — and expected false joins are N*NB/2^(32+hb)
+    # per batch.  Row ids are part of the sort key, so within a tied run
+    # real bucket rows (low ids) sort before shard padding rows (high
+    # ids) and can never be shadowed.
+    khlo, khhi = _hash_prefix(klo, khi, jnp)
+    row_bits = max(int(max(N, NB) - 1).bit_length(), 1)
+    hb = min(_HHI_BITS, 31 - row_bits)
+    if hb < 0:
+        raise ValueError(
+            f"sort-join row id needs {row_bits} bits (> 31): shard the "
+            f"index (NB={NB}) or reduce the batch (N={N})")
+    jw1 = jnp.concatenate([dm.pref_lo, khlo])
+    jhhi = jnp.concatenate([dm.pref_hi, khhi]) & jnp.uint32((1 << hb) - 1)
     jtag = jnp.concatenate(
         [jnp.zeros(NB, jnp.uint32), jnp.ones(N, jnp.uint32)]
     )
-    jfhi = (jhi << 1) | (jlo >> 31)
-    jflo = (jlo << 1) | jtag
-    jval = jnp.concatenate(
-        [jnp.arange(NB, dtype=jnp.int32), jnp.arange(N, dtype=jnp.int32)]
+    jrow = jnp.concatenate(
+        [jnp.arange(NB, dtype=jnp.uint32), jnp.arange(N, dtype=jnp.uint32)]
     )
-    sfhi, sflo, sval = jax.lax.sort([jfhi, jflo, jval], num_keys=2)
-    stag = (sflo & 1).astype(jnp.int32)
-    srun = sflo >> 1  # lo without the tag bit
+    jw2 = (jhhi << (row_bits + 1)) | (jtag << row_bits) | jrow
+    sw1, sw2 = jax.lax.sort([jw1, jw2], num_keys=2, is_stable=False)
+    stag = ((sw2 >> row_bits) & 1).astype(jnp.int32)
+    sval = (sw2 & jnp.uint32((1 << row_bits) - 1)).astype(jnp.int32)
+    srun = sw2 >> (row_bits + 1)  # secondary hash bits
     is_start = jnp.concatenate(
         [jnp.ones(1, bool),
-         (sfhi[1:] != sfhi[:-1]) | (srun[1:] != srun[:-1])]
+         (sw1[1:] != sw1[:-1]) | (srun[1:] != srun[:-1])]
     )
     # first-of-run is the table row iff the bucket exists (tag sorts first)
     has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
@@ -289,53 +346,66 @@ def collect_matches_sortjoin(
     rows = jnp.arange(N + NB, dtype=jnp.int32)
     BIGOFF = jnp.int32(1 << 30)
     fkey = jnp.where(probe_hit, rows, rows + BIGOFF)
-    skey = jnp.sort(fkey)[:K]
+    # unstable single-operand sort (keys are distinct; jnp.sort would add
+    # a tiebreak-iota payload column)
+    skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K]
     cv = skey < BIGOFF
     crow_c = jnp.where(cv, skey, 0)
     cpos = jnp.where(cv, sval[crow_c], -1)
     cbid = pbid[crow_c]
-    cstart = jnp.where(cv, dm.bucket_start[cbid], 0)
-    ccnt = jnp.where(cv, dm.bucket_count[cbid], 0)
+    # bucket (start, count) as one row-gather
+    brec = jnp.stack([dm.bucket_start, dm.bucket_count], axis=-1)
+    crec = brec[cbid]
+    cstart = jnp.where(cv, crec[:, 0], 0)
+    ccnt = jnp.where(cv, crec[:, 1], 0)
     n_hits = jnp.sum(probe_hit.astype(jnp.int32))
     overflow_hits = jnp.maximum(n_hits - K, 0)
 
-    # ---- bucket scan on compacted candidates
+    # ---- bucket scan on compacted candidates.  Per-entry fields are
+    # packed into one [E, kw+1] record (kw key words + length|is_d) so
+    # each scan step is a single row-gather; the probe's verify words are
+    # one row-gather from p16s (outside the scan loop entirely).
     cvalid = cpos >= 0
     r2 = jnp.where(cvalid, cpos // O, 0)              # strand-folded read row
     o2 = jnp.where(cvalid, cpos % O, 0)
     avail = lengths2[r2] - o2
-    base = r2 * Lp + o2
-    p16f = p16.reshape(-1)
     Emax = dm.length.shape[0]
+    NEVER = jnp.int32(0xFFFF)  # length field for oversize/pad entries
+    elen_pack = jnp.minimum(dm.length, NEVER) | (dm.is_d.astype(jnp.int32) << 16)
+    erec = jnp.concatenate(
+        [dm.key_words.astype(jnp.uint32),
+         elen_pack[:, None].astype(jnp.uint32)], axis=1,
+    )                                                 # [E, kw+1]
+    pwords = p16s[jnp.maximum(cpos, 0)]               # [K, kw]
     found_row_u = jnp.full((K,), -1, jnp.int32)
     found_row_d = jnp.full((K,), -1, jnp.int32)
     for c in range(dm.max_bucket):
         e = jnp.minimum(cstart + c, Emax - 1)
-        ok = cvalid & (c < ccnt)
-        elen = dm.length[e]
-        ok = ok & (elen <= avail)
-        match = ok
+        er = erec[e]                                  # [K, kw+1] row-gather
+        elen = (er[:, kw] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        is_d = (er[:, kw] >> 16) != 0
+        match = cvalid & (c < ccnt) & (elen <= avail)
         for w in range(kw):
-            idx = jnp.minimum(base + 16 * w, 2 * B * Lp - 1)
-            ww = jnp.where(base + 16 * w < 2 * B * Lp, p16f[idx], 0)
             nb = jnp.clip(elen - 16 * w, 0, 16)
             mask = jnp.where(
                 nb >= 16, jnp.uint32(0xFFFFFFFF),
                 (jnp.uint32(1) << (2 * nb.astype(jnp.uint32))) - jnp.uint32(1),
             )
-            match = match & ((ww & mask) == dm.key_words[e, w])
-        is_d = dm.is_d[e]
+            match = match & ((pwords[:, w] & mask) == er[:, w])
         found_row_u = jnp.where(match & ~is_d, e, found_row_u)
         found_row_d = jnp.where(match & is_d, e, found_row_d)
 
-    # match payloads at candidate granularity (K small)
+    # match payloads at candidate granularity (K small): one [E, 3]
+    # row-gather per table
+    prec = jnp.stack([dm.gid, dm.rid1, dm.rid2], axis=-1)
+
     def payload(found_row):
         hitf = found_row >= 0
-        row = jnp.maximum(found_row, 0)
+        pr = prec[jnp.maximum(found_row, 0)]
         return (
-            jnp.where(hitf, dm.gid[row], BIG),
-            jnp.where(hitf, dm.rid1[row], 0),
-            jnp.where(hitf, dm.rid2[row], 0),
+            jnp.where(hitf, pr[:, 0], BIG),
+            jnp.where(hitf, pr[:, 1], 0),
+            jnp.where(hitf, pr[:, 2], 0),
         )
 
     gu, r1u, r2u = payload(found_row_u)
@@ -348,8 +418,9 @@ def collect_matches_sortjoin(
     m_r1 = jnp.concatenate([r1u, r1d])
     m_r2 = jnp.concatenate([r2u, r2d])
     m_read = jnp.where(m_gid < BIG, m_read, B)
+    # unstable: duplicate (read, gid) rows carry identical payloads
     sread, sgid, sr1, sr2 = jax.lax.sort(
-        [m_read, m_gid, m_r1, m_r2], num_keys=2
+        [m_read, m_gid, m_r1, m_r2], num_keys=2, is_stable=False
     )
     valid_m = (sread < B) & (sgid < BIG)
     newkey = jnp.concatenate(
