@@ -212,7 +212,7 @@ def shard_merged_index(m, mp: int):
         rid1=np.zeros((mp, e_pad), np.int32),
         rid2=np.zeros((mp, e_pad), np.int32),
         gid=np.zeros((mp, e_pad), np.int32),
-        is_d=np.zeros((mp, e_pad), bool),
+        color=np.zeros((mp, e_pad), np.int32),
         pref_lo=np.full((mp, nb_pad), 0xFFFFFFFF, np.uint32),
         pref_hi=np.full((mp, nb_pad), 0xFFFFFFFF, np.uint32),
         bucket_start=np.zeros((mp, nb_pad), np.int32),
@@ -228,7 +228,7 @@ def shard_merged_index(m, mp: int):
             out["rid1"][i, :ec] = m.rid1[lo:hi]
             out["rid2"][i, :ec] = m.rid2[lo:hi]
             out["gid"][i, :ec] = m.gid[lo:hi]
-            out["is_d"][i, :ec] = m.is_d[lo:hi]
+            out["color"][i, :ec] = m.color[lo:hi]
         if bc:
             out["pref_lo"][i, :bc] = m.pref_lo[blo:bhi]
             out["pref_hi"][i, :bc] = m.pref_hi[blo:bhi]
@@ -278,14 +278,16 @@ class DistSortJoinSession:
         G = num_genome_slots
         sc = sc_mode
         h, kw, max_bucket = m.h, m.kw, m.max_bucket
+        n_colors = m.n_colors
         eu, ed = m.eu, m.ed
 
         def local_fn(sh, codes, lengths):
             dmi = DeviceMergedIndex(
                 h=h, kw=kw, eu=eu, ed=ed, max_bucket=max_bucket,
+                n_colors=n_colors,
                 key_words=sh["key_words"][0], length=sh["length"][0],
                 rid1=sh["rid1"][0], rid2=sh["rid2"][0],
-                gid=sh["gid"][0], is_d=sh["is_d"][0],
+                gid=sh["gid"][0], color=sh["color"][0],
                 pref_lo=sh["pref_lo"][0], pref_hi=sh["pref_hi"][0],
                 bucket_start=sh["bucket_start"][0],
                 bucket_count=sh["bucket_count"][0],

@@ -101,7 +101,9 @@ class QuerySession:
                 ln = _np.asarray(lengths)
                 real = ln[ln > 0]
                 ul = int(real[0]) if real.size and (real == real[0]).all() and (ln > 0).all() else None
-                frac, maxm = 64, 16
+                # fwd-only probe: N = B*O, so frac=32 gives the same
+                # absolute hit capacity the 2-strand probe had at 64
+                frac, maxm = 32, 16
                 while True:
                     inner = get_classifier(frac, maxm)
                     out, ovh, ovs = inner(codes, lengths,

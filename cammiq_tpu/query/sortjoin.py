@@ -6,25 +6,36 @@ primitive on TPU.  This engine replaces the hash-table lookup with a
 sort-merge join, TPU's fastest primitive:
 
 1. both tables' entries are merged host-side into one bucket list keyed by
-   a 41-bit HASH of the h-base prefix (entries keep a u/d tag); bucket
-   entry spans are keyed by the 32-bit primary hash, so prefixes that
-   collide share a span and the verify stage separates them;
-2. per batch, all probe prefix hashes (2 strands x offsets) are
+   a 41-bit HASH of the h-base prefix; every entry additionally gets a
+   REVERSE-COMPLEMENT twin carrying the same global id, so the query
+   probes ONLY the forward strand (read RC contains entry e iff the read
+   contains RC(e)) - this halves every sort/scan in the hot loop.  The
+   RC-augmented key set may lose the per-table prefix-freeness the
+   ≤1-match-per-offset argument needs (RC twins form prefix chains when
+   original keys share suffixes), so entries are CHAIN-COLORED host-side:
+   within one color class keys are distinct and prefix-free, and the
+   bucket scan keeps one found-slot per color.  Bucket entry spans are
+   keyed by the 32-bit primary hash, so prefixes that collide share a
+   span and the verify stage separates them;
+2. per batch, all probe prefix hashes (fwd strand x offsets) are
    concatenated with the bucket hashes and sorted together (lax.sort on
    just TWO fused words: primary hash | (secondary hash, tag, row id));
    a first-of-run associative scan propagates each bucket row onto the
    probe rows with an equal hash - zero gathers, and no probe that
    matches an entry can miss its bucket;
-3. probe rows that joined a bucket are compacted to a fixed capacity K
-   (cumsum + scatter), so the masked-compare bucket scan does its gathers
-   on ~hit-rate * N positions instead of N;
+3. probe rows that joined a bucket are compacted to a fixed capacity K,
+   so the masked-compare bucket scan does its gathers on ~hit-rate * N
+   positions instead of N;
 4. matches are assembled into per-read distinct slot arrays [B, MAXM]
    (sort by (read, entry) + segmented rank), feeding the unchanged case
    analysis.
 
-Exactness matches probe.py: a probe matches an entry iff the entry lies
-fully inside the read and every base agrees; at most one entry per table
-can match a given offset (prefix-freeness per table).
+Exactness matches probe.py (which probes both strands of the read against
+the un-augmented tables): the strand bijection is
+  RC(read)[o':o'+m] == e  <=>  read[rl-o'-m : rl-o'] == RC(e),
+and matches dedup by (read, gid), so an entry found on both strands
+counts once, exactly like the reference's distinct-pleafNode sets
+(src/query.cpp:530-540).
 """
 
 from __future__ import annotations
@@ -35,26 +46,28 @@ from typing import Any, Optional, Tuple
 import numpy as np
 
 from ..index.table import FlatIndex, _prefix_lo_hi
+from ..ops.packing import pack_words
 from .classify import BIG, MatchSlots, revcomp_batch
 from .probe import pack_rolling16
 
 
 @dataclasses.dataclass
 class MergedIndex:
-    """Both tables merged into one bucket list (host numpy)."""
+    """Both tables merged + RC-augmented into one bucket list (host numpy)."""
 
     h: int
     kw: int
     eu: int                   # unique-table entry count (global id base)
     ed: int
     max_bucket: int
+    n_colors: int             # prefix-chain colors (found-slots per probe)
     # merged entries, bucket-sorted
     key_words: np.ndarray     # uint32 [E, kw]
     length: np.ndarray        # int32 [E]
     rid1: np.ndarray          # int32 [E]
     rid2: np.ndarray          # int32 [E]
     gid: np.ndarray           # int32 [E] global id (u: [0,Eu), d: [Eu,Eu+Ed))
-    is_d: np.ndarray          # bool [E]
+    color: np.ndarray         # int32 [E] chain color (< n_colors)
     # bucket rows: one per distinct (hlo, hhi) prefix hash; rows sharing
     # an hlo (prefix collisions) reference the same full entry span
     pref_lo: np.ndarray       # uint32 [NB] primary 32-bit prefix hash
@@ -90,6 +103,68 @@ def _hash_prefix(lo, hi, xp=np):
     return x, y & C((1 << _HHI_BITS) - 1)
 
 
+def _revcomp_packed(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.ndarray:
+    """Reverse-complement 2-bit-packed keys: rc[t] = 3 - key[len-1-t]."""
+    E = key_words.shape[0]
+    maxl = kw * 16
+    t = np.arange(maxl)
+    shifts = (2 * (t % 16)).astype(np.uint32)
+    codes = (key_words[:, t // 16] >> shifts[None, :]) & np.uint32(3)
+    src = length[:, None].astype(np.int64) - 1 - t[None, :]
+    valid = src >= 0
+    src = np.clip(src, 0, maxl - 1)
+    g = np.take_along_axis(codes, src, axis=1)
+    rc = np.where(valid, np.uint32(3) - g, np.uint32(0))
+    return pack_words(rc.astype(np.int64), kw)
+
+
+def _chain_colors(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.ndarray:
+    """Color keys so that within one color class keys are DISTINCT and
+    PREFIX-FREE (then at most one entry per color can match a given read
+    offset).  color = (#keys that are proper prefixes of this key, with
+    multiplicity) + (rank among exact duplicates).  If k1 is a proper
+    prefix of k2, every prefix of k1 (and k1 itself, all its copies) is a
+    prefix of k2, so color(k2) > color(any k1 copy); exact duplicates get
+    distinct ranks.  Prefix tests use 64-bit hashes - a collision only
+    inflates a color (extra found-slot), never merges two related keys."""
+    E = key_words.shape[0]
+    P = np.uint64(0x9E3779B97F4A7C15)
+
+    def prefix_hash(rows: np.ndarray, l: int) -> np.ndarray:
+        acc = np.full(rows.shape[0], np.uint64(l * 2654435761 + 1))
+        with np.errstate(over="ignore"):
+            for w in range(kw):
+                nb = min(max(l - 16 * w, 0), 16)
+                if nb == 0:
+                    break
+                mask = np.uint32(0xFFFFFFFF) if nb >= 16 else np.uint32((1 << (2 * nb)) - 1)
+                acc = acc * P + (rows[:, w] & mask).astype(np.uint64)
+        return acc
+
+    depth = np.zeros(E, np.int64)
+    for l in np.unique(length):
+        at_l = np.nonzero(length == l)[0]
+        longer = np.nonzero(length > l)[0]
+        if longer.size == 0:
+            continue
+        hl = np.sort(prefix_hash(key_words[at_l], int(l)))
+        hp = prefix_hash(key_words[longer], int(l))
+        depth[longer] += (
+            np.searchsorted(hl, hp, "right") - np.searchsorted(hl, hp, "left")
+        )
+    # exact-duplicate rank (same words AND same length)
+    full = np.concatenate([key_words, length[:, None].astype(np.uint32)], axis=1)
+    order = np.lexsort(tuple(full[:, c] for c in range(full.shape[1] - 1, -1, -1)))
+    fs = full[order]
+    first = np.ones(E, bool)
+    first[1:] = (fs[1:] != fs[:-1]).any(axis=1)
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(E), 0))
+    rank_sorted = np.arange(E) - grp_start
+    rank = np.zeros(E, np.int64)
+    rank[order] = rank_sorted
+    return (depth + rank).astype(np.int32)
+
+
 def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> MergedIndex:
     h, kw = index_u.h, index_u.kw
     eu = index_u.num_entries
@@ -111,26 +186,50 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
         rid1 = np.concatenate([index_u.rid1, index_d.rid1])
         rid2 = np.concatenate([index_u.rid2, index_d.rid2])
         ed = index_d.num_entries
-        is_d = np.concatenate([np.zeros(eu, bool), np.ones(ed, bool)])
     else:
         key_words = index_u.key_words
         length = index_u.length
         rid1, rid2 = index_u.rid1, index_u.rid2
         ed = 0
-        is_d = np.zeros(eu, bool)
     gid = np.arange(eu + ed, dtype=np.int32)
 
-    E = length.shape[0]
-    if E == 0:
+    if length.shape[0] == 0:
         return MergedIndex(
-            h=h, kw=kw, eu=eu, ed=ed, max_bucket=1,
+            h=h, kw=kw, eu=eu, ed=ed, max_bucket=1, n_colors=1,
             key_words=np.zeros((1, kw), np.uint32),
             length=np.full(1, 1 << 30, np.int32),
             rid1=np.zeros(1, np.int32), rid2=np.zeros(1, np.int32),
-            gid=np.zeros(1, np.int32), is_d=np.zeros(1, bool),
+            gid=np.zeros(1, np.int32), color=np.zeros(1, np.int32),
             pref_lo=np.zeros(1, np.uint32), pref_hi=np.zeros(1, np.uint32),
             bucket_start=np.zeros(1, np.int32), bucket_count=np.zeros(1, np.int32),
         )
+
+    # ---- RC augmentation: every entry gets a reverse-complement twin with
+    # the SAME gid/payload, so the query probes the forward strand only.
+    rc_words = _revcomp_packed(key_words, length, kw)
+    key_words = np.concatenate([key_words, rc_words])
+    length = np.concatenate([length, length])
+    rid1 = np.concatenate([rid1, rid1])
+    rid2 = np.concatenate([rid2, rid2])
+    gid = np.concatenate([gid, gid])
+    # drop duplicates with IDENTICAL payload (palindromic twins); keys
+    # equal as strings but with different gids are real double matches and
+    # must both stay (they get distinct colors below)
+    full = np.concatenate(
+        [key_words, length[:, None].astype(np.uint32), gid[:, None].astype(np.uint32)],
+        axis=1,
+    )
+    order = np.lexsort(tuple(full[:, c] for c in range(full.shape[1] - 1, -1, -1)))
+    fs = full[order]
+    first = np.ones(fs.shape[0], bool)
+    first[1:] = (fs[1:] != fs[:-1]).any(axis=1)
+    keep = np.sort(order[first])
+    key_words, length = key_words[keep], length[keep]
+    rid1, rid2, gid = rid1[keep], rid2[keep], gid[keep]
+    E = length.shape[0]
+
+    color = _chain_colors(key_words, length, kw)
+    n_colors = int(color.max()) + 1
 
     plo, phi = _prefix_lo_hi(key_words, h)
     hlo, hhi = _hash_prefix(plo, phi)
@@ -141,7 +240,7 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
     key_words = key_words[order]
     length = length[order]
     rid1, rid2 = rid1[order], rid2[order]
-    gid, is_d = gid[order], is_d[order]
+    gid, color = gid[order], color[order]
     hlo, hhi = hlo[order], hhi[order]
     # spans: runs of equal hlo (the scannable entry ranges)
     newspan = np.ones(E, bool)
@@ -157,10 +256,11 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
     brow = np.nonzero(newb)[0]
     return MergedIndex(
         h=h, kw=kw, eu=eu, ed=ed, max_bucket=int(scount.max()),
+        n_colors=n_colors,
         key_words=key_words.astype(np.uint32),
         length=length.astype(np.int32),
         rid1=rid1.astype(np.int32), rid2=rid2.astype(np.int32),
-        gid=gid.astype(np.int32), is_d=is_d,
+        gid=gid.astype(np.int32), color=color.astype(np.int32),
         pref_lo=hlo[brow].astype(np.uint32), pref_hi=hhi[brow].astype(np.uint32),
         bucket_start=sstart[span_id[brow]].astype(np.int32),
         bucket_count=scount[span_id[brow]].astype(np.int32),
@@ -174,12 +274,13 @@ class DeviceMergedIndex:
     eu: int
     ed: int
     max_bucket: int
+    n_colors: int
     key_words: Any
     length: Any
     rid1: Any
     rid2: Any
     gid: Any
-    is_d: Any
+    color: Any
     pref_lo: Any
     pref_hi: Any
     bucket_start: Any
@@ -191,10 +292,11 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
 
     return DeviceMergedIndex(
         h=m.h, kw=m.kw, eu=m.eu, ed=m.ed, max_bucket=m.max_bucket,
+        n_colors=m.n_colors,
         key_words=jnp.asarray(m.key_words),
         length=jnp.asarray(m.length),
         rid1=jnp.asarray(m.rid1), rid2=jnp.asarray(m.rid2),
-        gid=jnp.asarray(m.gid), is_d=jnp.asarray(m.is_d),
+        gid=jnp.asarray(m.gid), color=jnp.asarray(m.color),
         pref_lo=jnp.asarray(m.pref_lo), pref_hi=jnp.asarray(m.pref_hi),
         bucket_start=jnp.asarray(m.bucket_start),
         bucket_count=jnp.asarray(m.bucket_count),
@@ -225,19 +327,20 @@ def collect_matches_sortjoin(
     dm: DeviceMergedIndex,
     codes,
     lengths,
-    hit_capacity_frac: int = 64,
+    hit_capacity_frac: int = 32,
     maxm: int = 32,
     uniform_len: int | None = None,
     return_compact: bool = False,
 ):
-    """MatchSlots [B, maxm] via the sort-join probe.
+    """MatchSlots [B, maxm] via the sort-join probe (forward strand only;
+    the merged index is RC-augmented, see module docstring).
 
     hit_capacity_frac: K = N // frac compacted probe capacity.
-    uniform_len: if every read has this exact length, the reverse
-    complement is computed gather-free (flip + complement).
+    uniform_len: accepted for API compatibility (the fwd-only probe no
+    longer computes reverse complements, so it changes nothing).
     Also returns (overflow_hits, overflow_slots) diagnostics.
     return_compact: additionally return the compacted distinct match rows
-    (read_id [2K], gid [2K], distinct mask [2K]) so rcounts can be
+    (read_id, gid, distinct mask; n_colors*K each) so rcounts can be
     scattered at match granularity (~hits) instead of B*maxm slots.
     """
     import jax
@@ -247,49 +350,38 @@ def collect_matches_sortjoin(
     h, kw = dm.h, dm.kw
     O = max(Lp - h + 1, 1)
     NB = dm.pref_lo.shape[0]
+    NC = dm.n_colors
 
-    # ---- both strands stacked: [2B, Lp]
-    if uniform_len is not None:
-        rl = int(uniform_len)
-        rc = (3 - codes[:, :rl])[:, ::-1].astype(codes.dtype)
-        if rl < Lp:
-            rc = jnp.concatenate(
-                [rc, jnp.zeros((B, Lp - rl), codes.dtype)], axis=1
-            )
-    else:
-        rc = revcomp_batch(codes, lengths)
-    codes2 = jnp.concatenate([codes, rc], axis=0)
-    lengths2 = jnp.concatenate([lengths, lengths], axis=0)
-    p16 = pack_rolling16(codes2)                      # [2B, Lp] uint32
+    p16 = pack_rolling16(codes)                       # [B, Lp] uint32
 
     def window_word(w):
         start = 16 * w
         if start >= Lp:
-            return jnp.zeros((2 * B, O), jnp.uint32)
+            return jnp.zeros((B, O), jnp.uint32)
         sl = p16[:, start:]
         if sl.shape[1] < O:
             sl = jnp.concatenate(
-                [sl, jnp.zeros((2 * B, O - sl.shape[1]), jnp.uint32)], axis=1
+                [sl, jnp.zeros((B, O - sl.shape[1]), jnp.uint32)], axis=1
             )
         return sl[:, :O]
 
-    # probe words laid out [2B*O, kw]: the kw verify words of every
+    # probe words laid out [B*O, kw]: the kw verify words of every
     # (read, offset) candidate become ONE contiguous row-gather later
     # (scalar gathers are ~10ns each on TPU; rows amortize)
     p16s = jnp.stack([window_word(w) for w in range(kw)], axis=-1)
     p16s = p16s.reshape(-1, kw)
-    W0 = p16s[:, 0].reshape(2 * B, O)
+    W0 = p16s[:, 0].reshape(B, O)
     nb0 = min(h, 16)
     m0 = jnp.uint32(0xFFFFFFFF if nb0 >= 16 else (1 << (2 * nb0)) - 1)
     if h > 16:
-        W1 = p16s[:, 1].reshape(2 * B, O) if kw > 1 else window_word(1)
+        W1 = p16s[:, 1].reshape(B, O) if kw > 1 else window_word(1)
         nb1 = h - 16
         m1 = jnp.uint32(0xFFFFFFFF if nb1 >= 16 else (1 << (2 * nb1)) - 1)
         khi = (W1 & m1).reshape(-1)
     else:
-        khi = jnp.zeros((2 * B * O,), jnp.uint32)
+        khi = jnp.zeros((B * O,), jnp.uint32)
     klo = (W0 & m0).reshape(-1)
-    N = 2 * B * O
+    N = B * O
 
     # ---- sort-merge join of probe prefixes with table buckets, on a
     # HASHED key: word1 = 32-bit primary hash, word2 fuses the secondary
@@ -362,28 +454,29 @@ def collect_matches_sortjoin(
     overflow_hits = jnp.maximum(n_hits - K, 0)
 
     # ---- bucket scan on compacted candidates.  Per-entry fields are
-    # packed into one [E, kw+1] record (kw key words + length|is_d) so
+    # packed into one [E, kw+1] record (kw key words + length|color) so
     # each scan step is a single row-gather; the probe's verify words are
-    # one row-gather from p16s (outside the scan loop entirely).
+    # one row-gather from p16s (outside the scan loop entirely).  One
+    # found-slot per chain color: within a color, keys are distinct and
+    # prefix-free, so at most one entry per color matches an offset.
     cvalid = cpos >= 0
-    r2 = jnp.where(cvalid, cpos // O, 0)              # strand-folded read row
+    r2 = jnp.where(cvalid, cpos // O, 0)              # read row
     o2 = jnp.where(cvalid, cpos % O, 0)
-    avail = lengths2[r2] - o2
+    avail = lengths[r2] - o2
     Emax = dm.length.shape[0]
     NEVER = jnp.int32(0xFFFF)  # length field for oversize/pad entries
-    elen_pack = jnp.minimum(dm.length, NEVER) | (dm.is_d.astype(jnp.int32) << 16)
+    elen_pack = jnp.minimum(dm.length, NEVER) | (dm.color.astype(jnp.int32) << 16)
     erec = jnp.concatenate(
         [dm.key_words.astype(jnp.uint32),
          elen_pack[:, None].astype(jnp.uint32)], axis=1,
     )                                                 # [E, kw+1]
     pwords = p16s[jnp.maximum(cpos, 0)]               # [K, kw]
-    found_row_u = jnp.full((K,), -1, jnp.int32)
-    found_row_d = jnp.full((K,), -1, jnp.int32)
+    found_rows = [jnp.full((K,), -1, jnp.int32) for _ in range(NC)]
     for c in range(dm.max_bucket):
         e = jnp.minimum(cstart + c, Emax - 1)
         er = erec[e]                                  # [K, kw+1] row-gather
         elen = (er[:, kw] & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        is_d = (er[:, kw] >> 16) != 0
+        ecol = (er[:, kw] >> 16).astype(jnp.int32)
         match = cvalid & (c < ccnt) & (elen <= avail)
         for w in range(kw):
             nb = jnp.clip(elen - 16 * w, 0, 16)
@@ -392,11 +485,11 @@ def collect_matches_sortjoin(
                 (jnp.uint32(1) << (2 * nb.astype(jnp.uint32))) - jnp.uint32(1),
             )
             match = match & ((pwords[:, w] & mask) == er[:, w])
-        found_row_u = jnp.where(match & ~is_d, e, found_row_u)
-        found_row_d = jnp.where(match & is_d, e, found_row_d)
+        for cc in range(NC):
+            found_rows[cc] = jnp.where(match & (ecol == cc), e, found_rows[cc])
 
     # match payloads at candidate granularity (K small): one [E, 3]
-    # row-gather per table
+    # row-gather per color
     prec = jnp.stack([dm.gid, dm.rid1, dm.rid2], axis=-1)
 
     def payload(found_row):
@@ -408,15 +501,14 @@ def collect_matches_sortjoin(
             jnp.where(hitf, pr[:, 2], 0),
         )
 
-    gu, r1u, r2u = payload(found_row_u)
-    gd, r1d, r2d = payload(found_row_d)
+    payloads = [payload(fr) for fr in found_rows]
 
     # ---- assemble per-read distinct slots [B, maxm]
-    read_of = jnp.where(cvalid, r2 % B, B)            # B = padded row
-    m_read = jnp.concatenate([read_of, read_of])
-    m_gid = jnp.concatenate([gu, gd])
-    m_r1 = jnp.concatenate([r1u, r1d])
-    m_r2 = jnp.concatenate([r2u, r2d])
+    read_of = jnp.where(cvalid, r2, B)                # B = padded row
+    m_read = jnp.concatenate([read_of] * NC)
+    m_gid = jnp.concatenate([p[0] for p in payloads])
+    m_r1 = jnp.concatenate([p[1] for p in payloads])
+    m_r2 = jnp.concatenate([p[2] for p in payloads])
     m_read = jnp.where(m_gid < BIG, m_read, B)
     # unstable: duplicate (read, gid) rows carry identical payloads
     sread, sgid, sr1, sr2 = jax.lax.sort(
@@ -452,7 +544,7 @@ def collect_matches_sortjoin(
 
 
 def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
-                             hit_capacity_frac: int = 64, maxm: int = 32):
+                             hit_capacity_frac: int = 32, maxm: int = 32):
     """Two-jit classifier: (collect+case) and (rcounts) compile separately
     - the fused single program both compiles slower and runs slower on
     the TPU backend here.
@@ -531,7 +623,7 @@ def classify_batch_sortjoin(
     num_genome_slots: int,
     with_rcounts: bool = True,
     sc_mode: bool = False,
-    hit_capacity_frac: int = 64,
+    hit_capacity_frac: int = 32,
     maxm: int = 32,
     uniform_len: int | None = None,
 ):
