@@ -434,7 +434,7 @@ def collect_matches_sortjoin(
     # ---- compact hits to capacity K: a single 1-key sort on a fused
     # (miss-flag | sorted-row) key brings the hit rows (in order) to the
     # front; then gather the (tiny) per-hit fields from the sorted arrays
-    K = max(N // hit_capacity_frac, 256)
+    K = min(max(N // hit_capacity_frac, 256), N + NB)
     rows = jnp.arange(N + NB, dtype=jnp.int32)
     BIGOFF = jnp.int32(1 << 30)
     fkey = jnp.where(probe_hit, rows, rows + BIGOFF)
@@ -471,7 +471,12 @@ def collect_matches_sortjoin(
          elen_pack[:, None].astype(jnp.uint32)], axis=1,
     )                                                 # [E, kw+1]
     pwords = p16s[jnp.maximum(cpos, 0)]               # [K, kw]
-    found_rows = [jnp.full((K,), -1, jnp.int32) for _ in range(NC)]
+    # one found-slot per chain color, held as a [K, NC+1] matrix (column
+    # NC is a dump slot for non-matches) so the traced program does one
+    # scatter per bucket-scan step instead of NC where-chains — program
+    # size stays constant in n_colors (a data-dependent quantity)
+    found = jnp.full((K, NC + 1), -1, jnp.int32)
+    rows_k = jnp.arange(K)
     for c in range(dm.max_bucket):
         e = jnp.minimum(cstart + c, Emax - 1)
         er = erec[e]                                  # [K, kw+1] row-gather
@@ -485,30 +490,22 @@ def collect_matches_sortjoin(
                 (jnp.uint32(1) << (2 * nb.astype(jnp.uint32))) - jnp.uint32(1),
             )
             match = match & ((pwords[:, w] & mask) == er[:, w])
-        for cc in range(NC):
-            found_rows[cc] = jnp.where(match & (ecol == cc), e, found_rows[cc])
+        # within a color, keys are distinct + prefix-free: at most one
+        # entry per color matches this candidate over the whole scan
+        found = found.at[rows_k, jnp.where(match, ecol, NC)].set(e)
 
-    # match payloads at candidate granularity (K small): one [E, 3]
-    # row-gather per color
+    # match payloads at candidate granularity: one [K*NC, 3] row-gather
     prec = jnp.stack([dm.gid, dm.rid1, dm.rid2], axis=-1)
-
-    def payload(found_row):
-        hitf = found_row >= 0
-        pr = prec[jnp.maximum(found_row, 0)]
-        return (
-            jnp.where(hitf, pr[:, 0], BIG),
-            jnp.where(hitf, pr[:, 1], 0),
-            jnp.where(hitf, pr[:, 2], 0),
-        )
-
-    payloads = [payload(fr) for fr in found_rows]
+    fr = found[:, :NC].reshape(-1)                    # [K*NC]
+    hitf = fr >= 0
+    pr = prec[jnp.maximum(fr, 0)]
+    m_gid = jnp.where(hitf, pr[:, 0], BIG)
+    m_r1 = jnp.where(hitf, pr[:, 1], 0)
+    m_r2 = jnp.where(hitf, pr[:, 2], 0)
 
     # ---- assemble per-read distinct slots [B, maxm]
     read_of = jnp.where(cvalid, r2, B)                # B = padded row
-    m_read = jnp.concatenate([read_of] * NC)
-    m_gid = jnp.concatenate([p[0] for p in payloads])
-    m_r1 = jnp.concatenate([p[1] for p in payloads])
-    m_r2 = jnp.concatenate([p[2] for p in payloads])
+    m_read = jnp.broadcast_to(read_of[:, None], (K, NC)).reshape(-1)
     m_read = jnp.where(m_gid < BIG, m_read, B)
     # unstable: duplicate (read, gid) rows carry identical payloads
     sread, sgid, sr1, sr2 = jax.lax.sort(
@@ -557,11 +554,13 @@ def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
 
     from .classify import BatchCounts, case_analysis
 
-    @partial_jit(static_argnames=("sc_mode", "uniform_len"))
-    def part1(codes, lengths, sc_mode, uniform_len):
+    @partial_jit(static_argnames=("sc_mode",))
+    def part1(codes, lengths, sc_mode):
+        # uniform_len is a no-op in the fwd-only probe; keeping it out of
+        # the jit signature avoids one recompile per distinct read length
         ms, ovh, ovs, compact = collect_matches_sortjoin(
             dm, codes, lengths, hit_capacity_frac=hit_capacity_frac,
-            maxm=maxm, uniform_len=uniform_len, return_compact=True,
+            maxm=maxm, uniform_len=None, return_compact=True,
         )
         case = case_analysis(ms, lengths, num_genome_slots, sc_mode=sc_mode)
         return case, ovh, ovs, compact
@@ -583,8 +582,8 @@ def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
 
     def classify(codes, lengths, with_rcounts=True, sc_mode=False,
                  uniform_len=None):
-        case, ovh, ovs, compact = part1(codes, lengths, sc_mode=sc_mode,
-                                        uniform_len=uniform_len)
+        del uniform_len  # no-op for the fwd-only probe (API compatibility)
+        case, ovh, ovs, compact = part1(codes, lengths, sc_mode=sc_mode)
         if with_rcounts:
             rcu, rcd = part2(*compact, case.assigned)
             if dm.eu == 0:

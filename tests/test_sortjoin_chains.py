@@ -155,3 +155,24 @@ def test_chain_cases_match_baseline(chain_setup):
         np.asarray(got.rcount_u), np.asarray(base.rcount_u))
     assert int(got.nundet) == int(base.nundet)
     assert int(got.nconf) == int(base.nconf)
+
+
+def test_tiny_batch_capacity_clamp(chain_setup):
+    """Regression: K = max(N//frac, 256) used to exceed N+NB on tiny
+    batches/indexes, crashing the compaction slice (round-1 red test)."""
+    import jax.numpy as jnp
+
+    idx_u, idx_d, m = chain_setup
+    dm = to_device_merged(m)
+    du, dd = to_device_index(idx_u), to_device_index(idx_d)
+    G = 6
+
+    # a single short read: N = B*O is far below 256
+    codes, lengths = _reads(["CGGTTACGGG"], Lp=12)
+    base = classify_batch(du, dd, jnp.asarray(codes), jnp.asarray(lengths), G)
+    got, ovh, ovs = classify_batch_sortjoin(
+        dm, jnp.asarray(codes), jnp.asarray(lengths), G)
+    assert int(ovh) == 0 and int(ovs) == 0
+    np.testing.assert_array_equal(np.asarray(got.cnts_u), np.asarray(base.cnts_u))
+    np.testing.assert_array_equal(
+        np.asarray(got.rcount_u), np.asarray(base.rcount_u))
