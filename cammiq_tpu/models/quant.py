@@ -133,6 +133,11 @@ def build_problem(
         ug = g_all[keep]
         uw = w_all[keep]
         ur = rcount_u[keep].astype(np.float64)
+        # size_u[ug] >= 1 for every realized term (the owner genome owns
+        # this very entry), so the max() guard never changes a value; the
+        # reference's float division (1000.0/size, src/query.cpp:1155)
+        # yields inf only for empty substring lists, which contribute no
+        # terms in either implementation
         uf = 1000.0 / np.maximum(size_u[ug], 1)
     else:
         ug = np.zeros(0, np.int64)
@@ -195,9 +200,26 @@ def build_problem(
     )
 
 
-def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 3,
-                penalty: float = 1.0) -> Tuple[np.ndarray, np.ndarray, dict]:
-    """Solve the QP + rounding.  Returns (exist, cov, info)."""
+def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
+                penalty: float = 1.0, tol: float = 1e-7,
+                time_limit: float = 600.0, enum_cap: int = 8,
+                enum_iters: int = 400) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """Solve the reference MIQP (src/query.cpp:1082-1298) TPU-natively.
+
+    Three stages, all on device:
+    1. relaxed box-QP (the (0, 0.01) EXIST hole removed) by FISTA projected
+       gradient + augmented Lagrangian for the coupled TOTAL / EXP2
+       constraints; runs in convergence-checked chunks with a time limit
+       (the reference gives CPLEX a 10800 s TiLim, src/query.cpp:1260);
+    2. exact branch over the EXIST booleans: candidates whose lower bound
+       does not already force EXIST=1 are enumerated (up to 2**enum_cap
+       subsets) and ALL subset QPs are re-solved in one vmapped batch -
+       the TPU-parallel replacement for CPLEX branch-and-bound; infeasible
+       subsets are rejected by an exact-penalty score;
+    3. a final polish solve at the winning bounds.
+
+    Returns (exist, cov, info).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -239,13 +261,11 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 3,
         vals = dw1 * x[dg1] + dw2 * x[dg2]
         return jnp.zeros(C2 + 1).at[trow].add(vals)[:C2]
 
-    def al_grad(x, lam_tot, lam_c2, rho):
+    def al_grad(x, lam_c2, rho):
         g = grad(x)
-        # total-coverage <= constraint
-        viol = jnp.dot(tg, x) - prob.total_rhs
-        mult = jnp.maximum(lam_tot + rho * viol, 0.0)
-        g = g + mult * tg
-        # doubly coverage >= constraints (C2 rows): rhs - E2 <= 0
+        # doubly coverage >= constraints (C2 rows): rhs - E2 <= 0, by
+        # augmented Lagrangian (general coupled rows); the TOTAL <=
+        # constraint is handled EXACTLY by projection (see project below)
         if C2 > 0 and len(prob.downer) > 0:
             e2 = e2_rows(x)
             rv = c2_rhs - e2
@@ -254,6 +274,31 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 3,
             g = g.at[dg1].add(-tm * dw1)
             g = g.at[dg2].add(-tm * dw2)
         return g
+
+    def project(y, lbv, ubv):
+        """Exact projection onto box [lb, ub] intersect {tg.x <= rhs}
+        (continuous-knapsack dual bisection).  The single TOTAL row
+        (src/query.cpp:1234-1237) handled this way converges far faster
+        than a slow-multiplier AL on a near-binding constraint."""
+        x = jnp.clip(y, lbv, ubv)
+        viol = jnp.dot(tg, x) - prob.total_rhs
+
+        def proj_mu(mu):
+            return jnp.clip(y - mu * tg, lbv, ubv)
+
+        # f(mu) = tg . proj_mu(mu) - rhs is monotone nonincreasing; at
+        # mu_hi every tg>0 coordinate is at its lower bound
+        hi = jnp.max(jnp.where(tg > 0, (y - lbv) / jnp.where(tg > 0, tg, 1.0), 0.0))
+        hi = jnp.maximum(hi, 1.0)
+
+        def body(i, ab):
+            a, b = ab
+            m = 0.5 * (a + b)
+            f = jnp.dot(tg, proj_mu(m)) - prob.total_rhs
+            return jnp.where(f > 0, m, a), jnp.where(f > 0, b, m)
+
+        a, b = jax.lax.fori_loop(0, 60, body, (jnp.asarray(0.0), hi))
+        return jnp.where(viol > 0, proj_mu(b), x)
 
     # Lipschitz estimate via power iteration on the quadratic Hessian
     key = jax.random.PRNGKey(0)
@@ -270,61 +315,180 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 3,
         return jnp.linalg.norm(hvp(v))
 
     L = float(power_iter(v0)) + 1e-6
-    # scale the AL penalty by the constraint curvature so the smoothed
-    # Hessian stays ~ (1+penalty) L and the 1/((1+penalty)L) step is stable
-    nrm2 = float(np.dot(prob.total_g, prob.total_g))
-    if C2 > 0 and len(prob.downer) > 0:
-        row_sq = np.zeros(C2 + 1)
+    # scale the AL penalty by the C2 constraint curvature so the smoothed
+    # Hessian stays ~ (1+penalty) L and the 1/((1+penalty)L) step is stable.
+    # Row norms are accumulated sparsely over the term lists (the dense
+    # [C2+1, n] matrix is O(20K x 20K) at production scale).
+    has_c2 = C2 > 0 and len(prob.downer) > 0
+    if has_c2:
         rr = sp_row[prob.downer]
-        a = np.zeros((C2 + 1, prob.n))
-        np.add.at(a, (rr, prob.dg1), prob.dw1)
-        np.add.at(a, (rr, prob.dg2), prob.dw2)
-        nrm2 += float((a[:C2] ** 2).sum())
-    rho = penalty * L / max(nrm2, 1e-12)
-    step = 1.0 / (L * (1.0 + penalty))
+        live = rr < C2
+        keys = np.concatenate(
+            [rr[live] * n + prob.dg1[live], rr[live] * n + prob.dg2[live]]
+        )
+        vals = np.concatenate([prob.dw1[live], prob.dw2[live]])
+        uk, inv = np.unique(keys, return_inverse=True)
+        acc = np.zeros(uk.shape[0])
+        np.add.at(acc, inv, vals)
+        nrm2 = float((acc ** 2).sum())
+        rho = penalty * L / max(nrm2, 1e-12)
+        step = 1.0 / (L * (1.0 + penalty))
+    else:
+        rho = 0.0
+        step = 1.0 / L
 
-    @jax.jit
-    def run(x0, lam_tot, lam_c2):
+    chunk_iters = max(iters // max(outer, 1), 50)
+
+    def fista(x0, lam_c2, lbv, ubv, n_it):
         def body(i, carry):
             x, y, tprev = carry
-            g = al_grad(y, lam_tot, lam_c2, rho)
-            xn = jnp.clip(y - step * g, lb, ub)
+            g = al_grad(y, lam_c2, rho)
+            xn = project(y - step * g, lbv, ubv)
             # gradient-based adaptive restart (O'Donoghue & Candes):
             # kill the momentum when it points against the descent step,
             # which prevents FISTA's rippling under box clipping
             restart = jnp.dot(g, xn - x) > 0
             tn = jnp.where(restart, 1.0,
                            0.5 * (1 + jnp.sqrt(1 + 4 * tprev * tprev)))
-            yn = jnp.clip(xn + (tprev - 1) / tn * (xn - x), lb, ub)
+            yn = project(xn + (tprev - 1) / tn * (xn - x), lbv, ubv)
             yn = jnp.where(restart, xn, yn)
             return xn, yn, tn
 
-        x, _, _ = jax.lax.fori_loop(0, iters, body, (x0, x0, jnp.asarray(1.0)))
-        viol = jnp.dot(tg, x) - prob.total_rhs
-        lam_tot = jnp.maximum(lam_tot + rho * viol, 0.0)
-        if C2 > 0 and len(prob.downer) > 0:
-            lam_c2 = jnp.maximum(lam_c2 + rho * (c2_rhs - e2_rows(x)), 0.0)
-        return x, lam_tot, lam_c2
+        x, _, _ = jax.lax.fori_loop(0, n_it, body, (x0, x0, jnp.asarray(1.0)))
+        return x
 
+    def lam_update(x, lam_c2):
+        viol_c2 = (c2_rhs - e2_rows(x)) if has_c2 else jnp.zeros(C2)
+        if has_c2:
+            lam_c2 = jnp.maximum(lam_c2 + rho * viol_c2, 0.0)
+        return lam_c2, viol_c2
+
+    @jax.jit
+    def run_chunk(x0, lam_c2, lbv, ubv):
+        x = fista(x0, lam_c2, lbv, ubv, chunk_iters)
+        lam_c2, viol_c2 = lam_update(x, lam_c2)
+        dx = jnp.max(jnp.abs(x - x0))
+        return x, lam_c2, viol_c2, dx
+
+    def run_to_convergence(x, lam_c2, lbv, ubv, max_chunks):
+        used = 0
+        for _ in range(max_chunks):
+            x, lam_c2, vc, dx = run_chunk(x, lam_c2, lbv, ubv)
+            used += 1
+            feas = True
+            if has_c2:
+                feas = bool(
+                    (np.asarray(vc) <= tol * np.maximum(np.asarray(c2_rhs), 1.0)).all()
+                )
+            if float(dx) < tol * max(1.0, float(jnp.max(jnp.abs(x)))) and feas:
+                break
+            if time.perf_counter() - t0 > time_limit:
+                break
+        return x, lam_c2, used
+
+    # ---- stage 1: relaxed solve ----
     x = jnp.clip(jnp.zeros(n), lb, ub)
-    lam_tot = jnp.asarray(0.0)
     lam_c2 = jnp.zeros(C2)
-    for _ in range(outer):
-        x, lam_tot, lam_c2 = run(x, lam_tot, lam_c2)
+    x, lam_c2, chunks_used = run_to_convergence(x, lam_c2, lb, ub, outer)
+    xh = np.asarray(x)
 
-    x = np.asarray(x)
-    # ---- rounding over the (0, 0.01) hole ----
-    exist = prob.exist0 & ((x >= 0.005) | (prob.lb > 0))
-    cov = np.where(exist, np.clip(x, 0.01, None), 0.0)
+    # ---- stage 2: exact branch over the (0, 0.01) EXIST hole ----
+    # candidates forced by a positive lower bound (the EXP1 constraint,
+    # src/query.cpp:1203-1206) are always selected; the rest are binary.
+    forced = prob.exist0 & (prob.lb > 0)
+    free = prob.exist0 & ~forced
+    free_idx = np.nonzero(free)[0]
+    # enumerate the enum_cap genomes closest to the rounding boundary;
+    # any excess (clearly in / clearly out) is decided by threshold
+    if len(free_idx) > enum_cap:
+        amb_order = np.argsort(np.abs(xh[free_idx] - 0.005))
+        enum_idx = free_idx[amb_order[:enum_cap]]
+        thr_idx = free_idx[amb_order[enum_cap:]]
+    else:
+        enum_idx = free_idx
+        thr_idx = np.zeros(0, np.int64)
+    base_lb = np.where(forced, np.maximum(prob.lb, 0.01), 0.0)
+    base_ub = np.where(forced, prob.ub, 0.0)
+    thr_sel = thr_idx[xh[thr_idx] >= 0.005]
+    base_lb[thr_sel] = 0.01
+    base_ub[thr_sel] = prob.ub[thr_sel]
+
+    m = len(enum_idx)
+    S = 1 << m
+    masks = (np.arange(S)[:, None] >> np.arange(m)[None, :]) & 1  # [S, m]
+    lb_s = np.broadcast_to(base_lb, (S, n)).copy()
+    ub_s = np.broadcast_to(base_ub, (S, n)).copy()
+    if m:
+        sel = masks.astype(bool)
+        rows = np.repeat(np.arange(S), m).reshape(S, m)
+        lb_s[rows[sel], np.broadcast_to(enum_idx, (S, m))[sel]] = 0.01
+        ub_s[rows[sel], np.broadcast_to(enum_idx, (S, m))[sel]] = np.broadcast_to(
+            prob.ub[enum_idx], (S, m)
+        )[sel]
+
+    def penalty_score(xs, knee):
+        """objective + exact penalty on relative constraint violation
+        beyond `knee` (the oracle counts <=1e-6 relative as feasible)."""
+        obj = objective(xs)
+        rv_tot = jnp.maximum(jnp.dot(tg, xs) - prob.total_rhs, 0.0) / max(
+            prob.total_rhs, 1.0
+        )
+        pen = 1e12 * jnp.maximum(rv_tot - knee, 0.0)
+        if has_c2:
+            rv_c2 = jnp.maximum(c2_rhs - e2_rows(xs), 0.0) / jnp.maximum(
+                c2_rhs, 1.0
+            )
+            pen = pen + 1e12 * jnp.sum(jnp.maximum(rv_c2 - knee, 0.0))
+        return obj + pen
+
+    @jax.jit
+    def solve_subsets(lbv, ubv, x0, lc0):
+        def one(lb_, ub_):
+            xs = jnp.clip(x0, lb_, ub_)
+            lc = lc0
+            for _ in range(2):  # two AL rounds per subset
+                xs = fista(xs, lc, lb_, ub_, max(enum_iters // 2, 1))
+                lc, _ = lam_update(xs, lc)
+            # LOOSE knee: coarse solves hover near active constraints, so
+            # rank near-feasible subsets by objective; the exact knee is
+            # applied after the per-candidate polish below
+            return penalty_score(xs, 1e-3), xs
+
+        return jax.vmap(one)(lbv, ubv)
+
+    scores, xs_all = solve_subsets(jnp.asarray(lb_s), jnp.asarray(ub_s), x, lam_c2)
+    scores = np.asarray(scores)
+
+    # ---- stage 3: polish the top candidates to convergence, rescore with
+    # the tight feasibility knee, keep the best ----
+    top_k = min(S, 4)
+    cand = np.argsort(scores)[:top_k]
+    best_score = np.inf
+    best = int(cand[0])
+    best_x = None
+    for s in cand:
+        lbj, ubj = jnp.asarray(lb_s[s]), jnp.asarray(ub_s[s])
+        xb = jnp.clip(xs_all[int(s)], lbj, ubj)
+        xb, lc_f, _ = run_to_convergence(
+            xb, lam_c2, lbj, ubj, max(outer // 2, 1)
+        )
+        sc = float(penalty_score(xb, 1e-6))
+        if sc < best_score:
+            best_score, best, best_x = sc, int(s), xb
+    xh = np.asarray(best_x)
+
+    exist = ub_s[best] > 0
+    cov = np.where(exist, np.clip(xh, 0.01, None), 0.0)
     cov = np.minimum(cov, prob.ub)
-    import jax.numpy as jnp2
 
-    obj = float(objective(jnp2.asarray(cov)))
+    obj = float(objective(jnp.asarray(cov)))
     info = {
         "solve_time": time.perf_counter() - t0,
         "objective": obj,
         "lipschitz": L,
         "num_candidates": int(prob.exist0.sum()),
+        "enum_size": S,
+        "chunks_used": chunks_used,
     }
     return exist, cov, info
 
