@@ -260,7 +260,7 @@ def run_query(a: dict) -> None:
                     gl, counts.mean_read_len, counts.num_reads,
                     a["erate"], fine,
                 )
-                exist, cov, info = solve_quant(prob)
+                exist, cov, info = solve_quant(prob, verbose=a["debug"])
                 print(f"{int(prob.exist0.sum())} genomes may exist in query "
                       f"{name}.", file=sys.stderr)
                 print(f"Time for quantification: "

@@ -49,6 +49,13 @@ class BuildConfig:
     h2: Optional[int] = None
     mode: str = "both"
     num_groups: int = 1
+    # bit-parity mode: emulate the reference's uint8 occurrence counters
+    # wrapping mod 256 (src/gsa.cpp:546) instead of saturating at 255;
+    # host engines only
+    occ_u8_wrap: bool = False
+    # bit-parity mode: reproduce the reference's if-advance over contig
+    # boundaries in the unique sparsifier (src/build.cpp:362)
+    unique_if_advance: bool = False
 
     def __post_init__(self):
         if not (5 <= self.k <= MAX_K):

@@ -137,9 +137,11 @@ def build_index(
                 lcp0 = unique_lcp0(gsa, lcp, el)
         with stage_timer("computing OCC array", timings, verbose):
             if device:
+                if cfg.occ_u8_wrap:
+                    raise ValueError("occ_u8_wrap (bit-parity mode) requires a host engine")
                 occ = np.asarray(uj.occ_unique_jax(sa_j, gsa_j, lcp_j, lcp0_j)).astype(np.int64)
             else:
-                occ = occ_unique(sa, gsa, lcp, lcp0)
+                occ = occ_unique(sa, gsa, lcp, lcp0, wrap_u8=cfg.occ_u8_wrap)
         with stage_timer("computing minimum unique substrings", timings, verbose):
             if device:
                 mu = np.asarray(uj.min_unique_jax(sa_j, lcp0_j, n)).astype(np.int64)
@@ -147,7 +149,8 @@ def build_index(
                 mu = min_unique(sa, lcp0, n)
         with stage_timer("organizing index", timings, verbose):
             sel = select_substrings(
-                corpus, mu, occ, cfg.L, cfg.Lmax, num_groups=cfg.num_groups
+                corpus, mu, occ, cfg.L, cfg.Lmax, num_groups=cfg.num_groups,
+                unique_if_advance=cfg.unique_if_advance,
             )
             unique_index = build_flat_index(corpus.seq, sel, cfg.h, cfg.Lmax, False)
             ulm_u = sel.ulm_count
@@ -164,11 +167,14 @@ def build_index(
                 dres = doubly_lcp0(sa, gsa, lcp, el, ulmax)
         with stage_timer("computing OCC array (doubly)", timings, verbose):
             if device:
+                if cfg.occ_u8_wrap:
+                    raise ValueError("occ_u8_wrap (bit-parity mode) requires a host engine")
                 od_j, od2_j = uj.occ_doubly_jax(sa_j, gsa_j, g2_j, lcp_j, dl_j, ulmax)
                 occ_d = np.asarray(od_j).astype(np.int64)
                 occ2_d = np.asarray(od2_j).astype(np.int64)
             else:
-                occ_d, occ2_d = occ_doubly(sa, gsa, dres.gsa2, lcp, dres.lcp0, ulmax)
+                occ_d, occ2_d = occ_doubly(sa, gsa, dres.gsa2, lcp, dres.lcp0,
+                                           ulmax, wrap_u8=cfg.occ_u8_wrap)
         with stage_timer("computing minimum unique substrings (doubly)", timings, verbose):
             if device:
                 mu_d = np.asarray(uj.min_unique_jax(sa_j, dl_j, n, ulmax=ulmax)).astype(np.int64)

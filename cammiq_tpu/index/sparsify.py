@@ -10,10 +10,12 @@ Group semantics: the reference partitions genome files over min(t, 4)
 pthreads and resets the walk state per thread (src/build.cpp:660,344-348).
 `num_groups` reproduces that partition deterministically (sequentially).
 
-Known deviation: the unique variant of the reference advances at most one
-contig boundary per candidate (`if`, src/build.cpp:362) while the doubly
-variants loop (`while`, src/build.cpp:460); here both loop, which only
-differs when a candidate jumps two contig boundaries at once.
+The unique variant of the reference advances at most one contig boundary
+per candidate (`if`, src/build.cpp:362) while the doubly variants loop
+(`while`, src/build.cpp:460); the default here loops for both (the only
+difference is when a candidate jumps two contig boundaries at once, i.e.
+contigs shorter than ~L), and `unique_if_advance=True` reproduces the
+reference's `if` bit-exactly (BuildConfig.unique_if_advance).
 """
 
 from __future__ import annotations
@@ -66,10 +68,19 @@ def select_substrings(
     occ2: Optional[np.ndarray] = None,
     num_groups: int = 1,
     engine: str = "fast",
+    unique_if_advance: bool = False,
 ) -> SelectedSubstrings:
     """Sparsified selection; engine='fast' uses the vectorized path
     (identical output, see select_substrings_fast), 'exact' the scalar
-    reference transcription."""
+    reference transcription.
+
+    unique_if_advance: bit-parity mode - reproduce the reference's
+    `if`-advance over contig boundaries in the UNIQUE variant
+    (src/build.cpp:362; the doubly variants loop, src/build.cpp:460).
+    Only differs when a candidate jumps two contig boundaries at once
+    (contigs shorter than ~L). Forces the exact engine."""
+    if unique_if_advance and gsa2_text is None:
+        engine = "exact"
     if engine == "fast":
         return select_substrings_fast(
             corpus, mu, occ, L, Lmax, gsa2_text=gsa2_text, occ2=occ2,
@@ -78,6 +89,7 @@ def select_substrings(
     return select_substrings_exact(
         corpus, mu, occ, L, Lmax, gsa2_text=gsa2_text, occ2=occ2,
         num_groups=num_groups,
+        unique_if_advance=unique_if_advance and gsa2_text is None,
     )
 
 
@@ -90,11 +102,14 @@ def select_substrings_exact(
     gsa2_text: Optional[np.ndarray] = None,
     occ2: Optional[np.ndarray] = None,
     num_groups: int = 1,
+    unique_if_advance: bool = False,
 ) -> SelectedSubstrings:
     """Reference-exact sequential engine (src/build.cpp:336-629).
 
     mu: int array [n+1] (MU_EMPTY where unset); occ/occ2/gsa2_text indexed
     by text position.  Pass gsa2_text/occ2 for the doubly variant.
+    unique_if_advance: advance at most ONE contig boundary per candidate,
+    the reference's unique-variant `if` (src/build.cpp:362).
     """
     contig_pos = corpus.contig_pos.astype(np.int64)
     ref_pos = corpus.ref_pos.astype(np.int64)
@@ -153,6 +168,8 @@ def select_substrings_exact(
                     ri += 1
                 if start + L + 2 >= contig_pos[ci]:
                     exist_unique[ci] = False
+                if unique_if_advance:
+                    break
             if ci >= C:
                 break
 

@@ -13,9 +13,10 @@ Semantics are operation-exact with src/gsa.cpp:
                         (src/gsa.cpp:311-406) with sentinel ulmax+2.
 - `min_unique`:         MU scatter (computeMinUnique, src/gsa.cpp:505-542).
 - `occ_unique/doubly`:  own-genome (and pair-genome) occurrence counts
-                        (computeOCC16/_d, src/gsa.cpp:544-712), saturating
-                        at 255 (the reference's uint8 counters wrap;
-                        saturation is the deliberate deviation).
+                        (computeOCC16/_d, src/gsa.cpp:544-712).  Default
+                        saturates at 255 (the better-behaved choice);
+                        `wrap_u8=True` reproduces the reference's uint8
+                        wrap-around bit-exactly (BuildConfig.occ_u8_wrap).
 
 Known deviation from uninitialized-memory reference behavior: LCP[0] is
 garbage in the reference (Kasai skips rank 0 and the buffer is recycled);
@@ -199,10 +200,10 @@ def min_unique(sa: np.ndarray, lcp0: np.ndarray, n: int,
 
 
 def _adjacent_count(lcp: np.ndarray, thresh: np.ndarray, allowed: np.ndarray,
-                    max_steps: int = OCC_SATURATE) -> tuple[np.ndarray, np.ndarray]:
+                    max_steps: int | None = OCC_SATURATE) -> tuple[np.ndarray, np.ndarray]:
     """Directional neighbor counting shared by the OCC kernels.
 
-    For each rank i counts, over d = 1..max_steps:
+    For each rank i counts, over d = 1..max_steps (unbounded when None):
       up:   allowed(i, i+d) and min(LCP[i+1..i+d]) > thresh[i]
       down: allowed(i, i-d) and min(LCP[i-d+1..i]) > thresh[i]
     `allowed[i, j]` is supplied as a callable on (i, j) index arrays.
@@ -218,7 +219,7 @@ def _adjacent_count(lcp: np.ndarray, thresh: np.ndarray, allowed: np.ndarray,
         run_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         active = idx.copy()
         d = 0
-        while active.size and d < max_steps:
+        while active.size and (max_steps is None or d < max_steps):
             d += 1
             j = active + sign * d
             inb = (j >= 0) & (j <= n - 1)
@@ -238,11 +239,15 @@ def _adjacent_count(lcp: np.ndarray, thresh: np.ndarray, allowed: np.ndarray,
 
 
 def occ_unique(sa: np.ndarray, gsa: np.ndarray, lcp: np.ndarray,
-               lcp0: np.ndarray) -> np.ndarray:
+               lcp0: np.ndarray, wrap_u8: bool = False) -> np.ndarray:
     """Own-genome occurrence count of each rank's shortest unique prefix,
     scattered to text positions (computeOCC16/32, src/gsa.cpp:544-614).
     occ init 1 (itself); counts adjacent same-genome ranks whose running
-    min LCP exceeds LCP0."""
+    min LCP exceeds LCP0.
+
+    wrap_u8: bit-parity mode - emulate the reference's uint8 counters
+    wrapping mod 256 (occ is uint8_t*, src/gsa.cpp:546) instead of
+    saturating at 255."""
     n = gsa.shape[0]
     sa = np.asarray(sa, dtype=np.int64)
     lcp = np.asarray(lcp, dtype=np.int64)
@@ -250,16 +255,24 @@ def occ_unique(sa: np.ndarray, gsa: np.ndarray, lcp: np.ndarray,
     def same_genome(i, j):
         return gsa[i] == gsa[j]
 
-    up, down = _adjacent_count(lcp, np.asarray(lcp0, dtype=np.int64), same_genome)
-    occ_rank = np.minimum(1 + up + down, OCC_SATURATE)
+    up, down = _adjacent_count(
+        lcp, np.asarray(lcp0, dtype=np.int64), same_genome,
+        max_steps=None if wrap_u8 else OCC_SATURATE,
+    )
+    if wrap_u8:
+        occ_rank = (1 + up + down) & 0xFF
+    else:
+        occ_rank = np.minimum(1 + up + down, OCC_SATURATE)
     occ = np.zeros(n, dtype=np.int64)
     occ[sa] = occ_rank
     return occ
 
 
 def occ_doubly(sa: np.ndarray, gsa: np.ndarray, gsa2_text: np.ndarray,
-               lcp: np.ndarray, lcp0: np.ndarray, ulmax: int) -> tuple[np.ndarray, np.ndarray]:
+               lcp: np.ndarray, lcp0: np.ndarray, ulmax: int,
+               wrap_u8: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Pair occurrence counts (computeOCC16_d, src/gsa.cpp:616-663).
+    wrap_u8: emulate uint8 counter wrap-around (bit-parity mode).
 
     occ[p]  = occurrences of the doubly-unique substring at p within its
               own genome (init 1);
@@ -304,7 +317,7 @@ def occ_doubly(sa: np.ndarray, gsa: np.ndarray, gsa2_text: np.ndarray,
         # running min is nonincreasing), so it is dropped even though the
         # reference keeps walking; the counts are identical.  Each
         # surviving step counts on one side, so <= 2*255 + 1 steps matter.
-        while active.size and d <= 2 * OCC_SATURATE:
+        while active.size and (wrap_u8 or d <= 2 * OCC_SATURATE):
             d += 1
             j = active + sign * d
             inb = (j >= 0) & (j <= n - 1)
@@ -327,8 +340,12 @@ def occ_doubly(sa: np.ndarray, gsa: np.ndarray, gsa2_text: np.ndarray,
 
     u1, u2 = count_dir(+1, allowed_up)
     d1, d2 = count_dir(-1, allowed_down)
-    occ_rank = np.where(processed, np.minimum(1 + u1 + d1, OCC_SATURATE), 0)
-    occ2_rank = np.where(processed, np.minimum(u2 + d2, OCC_SATURATE), 0)
+    if wrap_u8:
+        occ_rank = np.where(processed, (1 + u1 + d1) & 0xFF, 0)
+        occ2_rank = np.where(processed, (u2 + d2) & 0xFF, 0)
+    else:
+        occ_rank = np.where(processed, np.minimum(1 + u1 + d1, OCC_SATURATE), 0)
+        occ2_rank = np.where(processed, np.minimum(u2 + d2, OCC_SATURATE), 0)
     occ = np.zeros(n, dtype=np.int64)
     occ2 = np.zeros(n, dtype=np.int64)
     occ[sa] = occ_rank

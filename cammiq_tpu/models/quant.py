@@ -203,7 +203,8 @@ def build_problem(
 def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
                 penalty: float = 1.0, tol: float = 1e-7,
                 time_limit: float = 600.0, enum_cap: int = 8,
-                enum_iters: int = 400) -> Tuple[np.ndarray, np.ndarray, dict]:
+                enum_iters: int = 400,
+                verbose: bool = False) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Solve the reference MIQP (src/query.cpp:1082-1298) TPU-natively.
 
     Three stages, all on device:
@@ -490,6 +491,23 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
         "enum_size": S,
         "chunks_used": chunks_used,
     }
+    if verbose:
+        # solver log, the --enable_ilp_display analog
+        # (reference: cplex.setOut unless debug, src/query.cpp:1262-1263)
+        import sys
+
+        print(
+            f"[quant] candidates={info['num_candidates']} forced="
+            f"{int(forced.sum())} enum_subsets={S} relax_chunks="
+            f"{chunks_used}x{chunk_iters} L={L:.4g} C2_rows={C2}",
+            file=sys.stderr,
+        )
+        print(
+            f"[quant] winner subset mask={best} objective={obj:.6g} "
+            f"selected={np.nonzero(exist)[0].tolist()} "
+            f"time={info['solve_time']*1e3:.0f} ms",
+            file=sys.stderr,
+        )
     return exist, cov, info
 
 

@@ -50,6 +50,17 @@ def _load():
                     ctypes.c_int64,
                     ctypes.c_int64,
                 ]
+                lib.cammiq_parse_fastq.restype = ctypes.c_int64
+                lib.cammiq_parse_fastq.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_uint64,
+                ]
                 _LIB = lib
                 break
             except OSError:
@@ -77,6 +88,33 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"native sais failed with code {rc}")
     return sa
+
+
+def parse_fastq(data: bytes, max_len: int, min_len: int = 0,
+                seed: int = 1):
+    """Parse FASTQ bytes into (codes [R, max_len] int8, lengths [R] int32).
+
+    Native replacement for the per-line Python loop (the reference parses
+    line-by-line too, src/query.cpp:371-445); N/non-ACGT bases become
+    LCG-random bases."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    nl = data.count(b"\n")
+    max_reads = max(nl // 4 + 1, 1)
+    codes = np.zeros((max_reads, max_len), np.int8)
+    lengths = np.zeros(max_reads, np.int32)
+    r = lib.cammiq_parse_fastq(
+        data,
+        ctypes.c_int64(len(data)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(max_reads),
+        ctypes.c_int32(max_len),
+        ctypes.c_int32(min_len),
+        ctypes.c_uint64(seed),
+    )
+    return codes[:r], lengths[:r]
 
 
 def lcp_kasai(s: np.ndarray, sa: np.ndarray, clamp: int = 0xFFFF) -> np.ndarray:

@@ -70,10 +70,34 @@ def test_native_fastq_parser(tmp_path, rng):
         ctypes.c_int32(0), ctypes.c_uint64(7),
     )
     assert r == 50
-    want = read_fastq(str(p), max_len=max_len)
+    want = read_fastq(str(p), max_len=max_len, engine="python")
     np.testing.assert_array_equal(lengths[:50], want.lengths)
     # all non-N positions must agree
     for i, seq in enumerate(reads):
         for t, ch in enumerate(seq[:max_len]):
             if ch in "ACGT":
                 assert codes[i, t] == "ACGT".index(ch)
+
+
+def test_read_fastq_native_engine_parity(tmp_path, rng):
+    """The bound native loader (engine='native', the read_fastq default
+    when the library is built) must match the Python loader exactly on
+    N-free input, including the min-length filter and truncation."""
+    from cammiq_tpu.io.fastq import read_fastq
+
+    lines = []
+    for i in range(500):
+        L = int(rng.integers(5, 300))
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+        lines += [f"@r{i}", seq, "+", "I" * L]
+    p = tmp_path / "t2.fq"
+    p.write_text("\n".join(lines) + "\n")
+    for min_len, max_len in ((0, 256), (60, 256), (0, 128)):
+        a = read_fastq(str(p), min_len=min_len, max_len=max_len,
+                       engine="native")
+        b = read_fastq(str(p), min_len=min_len, max_len=max_len,
+                       engine="python")
+        assert a.num_reads == b.num_reads
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_array_equal(a.lengths, b.lengths)
+        assert a.total_len == b.total_len

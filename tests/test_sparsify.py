@@ -71,3 +71,39 @@ def test_fast_matches_exact(rng, ng, cls, groups, doubly):
     np.testing.assert_array_equal(a.rid2, b.rid2)
     np.testing.assert_array_equal(a.occ2, b.occ2)
     np.testing.assert_array_equal(a.ulm_count, b.ulm_count)
+
+
+def test_unique_if_advance_parity_mode(rng):
+    """Bit-parity switch: the reference's unique sparsifier advances at
+    most one contig boundary per candidate (`if`, src/build.cpp:362).
+    With long contigs the two modes are identical; with contigs shorter
+    than ~L the if-advance path executes and stays well-formed."""
+    from cammiq_tpu.index.sparsify import select_substrings
+
+    # long contigs: identical output
+    corpus = make_corpus(rng, 3, [[200], [150], [300]])
+    s = corpus.seq
+    sa = suffix_array_numpy(s)
+    lcp = lcp_from_sa_numpy(s, sa)
+    gsa = compute_gsa(sa, corpus.ref_pos, corpus.ref_id)
+    L, Lmax, k = 60, 30, 12
+    lcp0 = unique_lcp0(gsa, lcp, k - 1)
+    occ = occ_unique(sa, gsa, lcp, lcp0)
+    mu = min_unique(sa, lcp0, len(s))
+    a = select_substrings(corpus, mu, occ, L, Lmax)
+    b = select_substrings(corpus, mu, occ, L, Lmax, unique_if_advance=True)
+    np.testing.assert_array_equal(a.start, b.start)
+    np.testing.assert_array_equal(a.ulm_count, b.ulm_count)
+
+    # boundary-heavy corpus: tiny contigs force double-boundary jumps
+    corpus = make_corpus(rng, 4, [[30, 25, 28, 22], [26, 24], [40, 20], [90]])
+    s = corpus.seq
+    sa = suffix_array_numpy(s)
+    lcp = lcp_from_sa_numpy(s, sa)
+    gsa = compute_gsa(sa, corpus.ref_pos, corpus.ref_id)
+    lcp0 = unique_lcp0(gsa, lcp, k - 1)
+    occ = occ_unique(sa, gsa, lcp, lcp0)
+    mu = min_unique(sa, lcp0, len(s))
+    b = select_substrings(corpus, mu, occ, L, Lmax, unique_if_advance=True)
+    assert (b.length > 0).all() and (b.start >= 0).all()
+    assert (b.start + b.length <= len(s)).all()

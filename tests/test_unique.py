@@ -177,3 +177,29 @@ def test_doubly_substrings_hit_exactly_two(rng):
         assert gs == {int(gsa[i]), g2}, f"rank {i}: {sub} -> {gs} vs ({gsa[i]},{g2})"
         checked += 1
     assert checked > 5
+
+
+def test_occ_unique_wrap_u8(rng):
+    """Bit-parity mode: occ counts wrap mod 256 like the reference's
+    uint8 counters (src/gsa.cpp:546).  A 300x-repeated pattern drives the
+    count past 255."""
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rep = alpha[rng.integers(0, 4, 7)].tobytes()
+    g1 = rep * 300 + alpha[rng.integers(0, 4, 64)].tobytes()
+    g2 = alpha[rng.integers(0, 4, 256)].tobytes()
+    from cammiq_tpu.io.fasta import corpus_from_sequences
+
+    corpus = corpus_from_sequences([[g1], [g2]])
+    n = corpus.n
+    sa = suffix_array_numpy(corpus.seq)[:n]
+    lcp = lcp_from_sa_numpy(corpus.seq, sa)
+    gsa = compute_gsa(sa, corpus.ref_pos, corpus.ref_id)
+    lcp0 = unique_lcp0(gsa, lcp, 4)
+    occ_sat = occ_unique(sa, gsa, lcp, lcp0)
+    occ_wrap = occ_unique(sa, gsa, lcp, lcp0, wrap_u8=True)
+    # reference scalar oracle counts in unbounded ints
+    ref = ref_occ_unique(sa, gsa, lcp, lcp0)
+    np.testing.assert_array_equal(occ_sat, np.minimum(ref, 255))
+    np.testing.assert_array_equal(occ_wrap, ref & 0xFF)
+    assert (occ_sat == 255).any(), "test corpus must exceed 255 occurrences"
+    assert (occ_wrap != occ_sat).any()
