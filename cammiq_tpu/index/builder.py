@@ -102,14 +102,28 @@ def build_index(
 
     n = corpus.n
     device = engine == "jax"
+    # production host path: the C++ streaming sweeps with tight dtypes
+    # (lcp uint16, gsa int32, occ uint8, mu uint16), the layout that keeps
+    # a multi-gigabase corpus within the reference's ~37N-byte RAM budget
+    # (README.md:187); the numpy/jax engines remain the oracle twins
+    from .. import native
+
+    sweeps = engine == "native" and native.has_sweeps()
     # the reference computes the SA over n + sentinels but keeps ranks of
     # the n real suffixes only (divsufsort over n chars; src/build.cpp:286)
     with stage_timer("computing suffix array", timings, verbose):
         sa = staged(store, "sa", lambda: _suffix_array(corpus.seq, engine)[:n])
     with stage_timer("computing LCP array", timings, verbose):
-        lcp = staged(store, "lcp", lambda: _lcp(corpus.seq, sa, engine))
+        if sweeps:
+            lcp = staged(store, "lcp16",
+                         lambda: native.kasai_u16(corpus.seq[:n], sa))
+        else:
+            lcp = staged(store, "lcp", lambda: _lcp(corpus.seq, sa, engine))
     with stage_timer("computing generalized suffix array", timings, verbose):
-        gsa = compute_gsa(sa, corpus.ref_pos, corpus.ref_id)
+        if sweeps:
+            gsa = native.gsa32(sa, corpus.ref_pos, corpus.ref_id)
+        else:
+            gsa = compute_gsa(sa, corpus.ref_pos, corpus.ref_id)
 
     unique_index = None
     doubly_index = None
@@ -133,6 +147,8 @@ def build_index(
             if device:
                 lcp0_j = uj.unique_lcp0_jax(gsa_j, lcp_j, el)
                 lcp0 = np.asarray(lcp0_j).astype(np.int64)
+            elif sweeps:
+                lcp0 = native.unique_lcp0_32(gsa, lcp, el)
             else:
                 lcp0 = unique_lcp0(gsa, lcp, el)
         with stage_timer("computing OCC array", timings, verbose):
@@ -140,11 +156,16 @@ def build_index(
                 if cfg.occ_u8_wrap:
                     raise ValueError("occ_u8_wrap (bit-parity mode) requires a host engine")
                 occ = np.asarray(uj.occ_unique_jax(sa_j, gsa_j, lcp_j, lcp0_j)).astype(np.int64)
+            elif sweeps:
+                occ = native.occ_unique_u8(sa, gsa, lcp, lcp0,
+                                           wrap=cfg.occ_u8_wrap)
             else:
                 occ = occ_unique(sa, gsa, lcp, lcp0, wrap_u8=cfg.occ_u8_wrap)
         with stage_timer("computing minimum unique substrings", timings, verbose):
             if device:
                 mu = np.asarray(uj.min_unique_jax(sa_j, lcp0_j, n)).astype(np.int64)
+            elif sweeps:
+                mu = native.min_unique_u16(sa, lcp0, n)
             else:
                 mu = min_unique(sa, lcp0, n)
         with stage_timer("organizing index", timings, verbose):
@@ -154,6 +175,10 @@ def build_index(
             )
             unique_index = build_flat_index(corpus.seq, sel, cfg.h, cfg.Lmax, False)
             ulm_u = sel.ulm_count
+        # free per-stage arrays before the doubly pass (each is gigabytes
+        # at a multi-GB corpus)
+        if not device:
+            del lcp0, occ, mu, sel
 
     if cfg.mode in ("doubly_unique", "both"):
         with stage_timer("computing LCP0-D array", timings, verbose):
@@ -163,6 +188,11 @@ def build_index(
 
                 dres = DoublyResult(np.asarray(dl_j).astype(np.int64),
                                     np.asarray(g2_j).astype(np.int64))
+            elif sweeps:
+                from .unique import DoublyResult
+
+                dl, g2 = native.doubly_lcp0_32(sa, gsa, lcp, el, ulmax)
+                dres = DoublyResult(dl, g2)
             else:
                 dres = doubly_lcp0(sa, gsa, lcp, el, ulmax)
         with stage_timer("computing OCC array (doubly)", timings, verbose):
@@ -172,12 +202,18 @@ def build_index(
                 od_j, od2_j = uj.occ_doubly_jax(sa_j, gsa_j, g2_j, lcp_j, dl_j, ulmax)
                 occ_d = np.asarray(od_j).astype(np.int64)
                 occ2_d = np.asarray(od2_j).astype(np.int64)
+            elif sweeps:
+                occ_d, occ2_d = native.occ_doubly_u8(
+                    sa, gsa, dres.gsa2, lcp, dres.lcp0, ulmax,
+                    wrap=cfg.occ_u8_wrap)
             else:
                 occ_d, occ2_d = occ_doubly(sa, gsa, dres.gsa2, lcp, dres.lcp0,
                                            ulmax, wrap_u8=cfg.occ_u8_wrap)
         with stage_timer("computing minimum unique substrings (doubly)", timings, verbose):
             if device:
                 mu_d = np.asarray(uj.min_unique_jax(sa_j, dl_j, n, ulmax=ulmax)).astype(np.int64)
+            elif sweeps:
+                mu_d = native.min_unique_u16(sa, dres.lcp0, n, ulmax=ulmax)
             else:
                 mu_d = min_unique(sa, dres.lcp0, n, ulmax=ulmax)
         with stage_timer("organizing index (doubly)", timings, verbose):

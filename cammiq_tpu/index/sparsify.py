@@ -78,7 +78,37 @@ def select_substrings(
     `if`-advance over contig boundaries in the UNIQUE variant
     (src/build.cpp:362; the doubly variants loop, src/build.cpp:460).
     Only differs when a candidate jumps two contig boundaries at once
-    (contigs shorter than ~L). Forces the exact engine."""
+    (contigs shorter than ~L).
+
+    engine='native' (auto-picked when the C++ library is built) runs the
+    O(n)-time / O(1)-memory sweep in native/sweeps.cpp - the production
+    path at multi-GB corpus scale."""
+    if engine in ("fast", "native"):
+        from .. import native as _native
+
+        if _native.has_sweeps():
+            starts, lens, ris, ulm = _native.select_sweep(
+                corpus.seq, mu,
+                corpus.contig_pos, corpus.ref_pos, L, Lmax,
+                num_groups=max(1, min(num_groups, 4, corpus.num_files)),
+                unique_if_advance=unique_if_advance and gsa2_text is None,
+            )
+            occ = np.asarray(occ)
+            occ_sel = occ[starts].astype(np.int64) if starts.size else np.zeros(0, np.int64)
+            if gsa2_text is not None:
+                rid2_sel = np.asarray(gsa2_text)[starts].astype(np.int64) if starts.size else np.zeros(0, np.int64)
+                occ2_sel = np.asarray(occ2)[starts].astype(np.int64) if starts.size else np.zeros(0, np.int64)
+            else:
+                rid2_sel = np.zeros(starts.size, np.int64)
+                occ2_sel = np.zeros(starts.size, np.int64)
+            ref_id = corpus.ref_id.astype(np.int64)
+            return SelectedSubstrings(
+                start=starts.astype(np.int64),
+                length=lens.astype(np.int64),
+                rid=ref_id[ris],
+                occ=occ_sel, rid2=rid2_sel, occ2=occ2_sel,
+                ulm_count=ulm,
+            )
     if unique_if_advance and gsa2_text is None:
         engine = "exact"
     if engine == "fast":

@@ -125,19 +125,26 @@ def build_flat_index(
             max_probes=1, max_bucket=0, is_doubly=is_doubly,
         )
 
-    # gather substring codes [S, kw*16]
+    # gather substring codes chunked (the [S, kw*16] int64 intermediate is
+    # 512*S bytes - 10 GB at a 20M-entry production index)
     starts = selected.start
-    offs = np.arange(kw * 16, dtype=np.int64)
-    pos = starts[:, None] + offs[None, :]
-    pos = np.minimum(pos, corpus_seq.shape[0] - 1)
-    codes = SYMBOL_IDX[corpus_seq[pos]].astype(np.int64)
-    # mask beyond each substring's length
     lens = selected.length
-    valid = offs[None, :] < lens[:, None]
-    codes = np.where(valid, codes, 0)
-    if (codes[valid] < 0).any():
-        raise ValueError("selected substring contains non-ACGT characters")
-    words = pack_words(codes, kw)                     # [S, kw]
+    offs = np.arange(kw * 16, dtype=np.int64)
+    words = np.empty((S, kw), np.uint32)
+    CHUNK = 1 << 20
+    shifts = (2 * np.arange(16, dtype=np.uint32))
+    for c0 in range(0, S, CHUNK):
+        c1 = min(c0 + CHUNK, S)
+        pos = starts[c0:c1, None] + offs[None, :]
+        np.minimum(pos, corpus_seq.shape[0] - 1, out=pos)
+        codes = SYMBOL_IDX[corpus_seq[pos]]        # int8
+        valid = offs[None, :] < lens[c0:c1, None]
+        if ((codes < 0) & valid).any():
+            raise ValueError("selected substring contains non-ACGT characters")
+        c32 = (np.where(valid, codes, 0).astype(np.uint32) & np.uint32(3))
+        words[c0:c1] = np.bitwise_or.reduce(
+            c32.reshape(-1, kw, 16) << shifts, axis=-1
+        )
 
     # canonicalize doubly pair orientation (the reference accepts the
     # swapped payload as consistent, src/hashtrie.cpp:74-87): smaller rid
@@ -195,41 +202,26 @@ def build_flat_index(
     # prefix-freeness within buckets (reference: abortInsert)
     _check_prefix_free(words, lens, bstart, bcount)
 
-    # open-addressing table
+    # open-addressing table; slots assigned by the vectorized linear-probe
+    # construction (no per-bucket Python loop - nb reaches millions at a
+    # 1K-genome DB)
     t = 8
     while t < nb / load_factor:
         t *= 2
     while True:
-        table_lo = np.zeros(t, np.uint32)
-        table_hi = np.zeros(t, np.uint32)
-        table_start = np.full(t, -1, np.int32)
-        table_count = np.zeros(t, np.int32)
         hv = hash_prefix(plo[bstart], phi[bstart]).astype(np.int64) & (t - 1)
-        # insert buckets in hash order (linear probing), track displacement
-        max_disp = 0
-        ok = True
-        occupied = np.zeros(t, dtype=bool)
-        order_h = np.argsort(hv, kind="stable")
-        for b in order_h:
-            slot = int(hv[b])
-            d = 0
-            while occupied[slot]:
-                slot = (slot + 1) & (t - 1)
-                d += 1
-                if d > 64:
-                    ok = False
-                    break
-            if not ok:
-                break
-            occupied[slot] = True
-            table_lo[slot] = plo[bstart[b]]
-            table_hi[slot] = phi[bstart[b]]
-            table_start[slot] = bstart[b]
-            table_count[slot] = bcount[b]
-            max_disp = max(max_disp, d)
-        if ok:
+        slots, max_disp = _assign_slots(hv, t)
+        if slots is not None:
             break
         t *= 2
+    table_lo = np.zeros(t, np.uint32)
+    table_hi = np.zeros(t, np.uint32)
+    table_start = np.full(t, -1, np.int32)
+    table_count = np.zeros(t, np.int32)
+    table_lo[slots] = plo[bstart]
+    table_hi[slots] = phi[bstart]
+    table_start[slots] = bstart
+    table_count[slots] = bcount
 
     return FlatIndex(
         h=h, kw=kw,
@@ -244,24 +236,51 @@ def build_flat_index(
     )
 
 
+def _assign_slots(hv: np.ndarray, t: int):
+    """Vectorized linear-probe slot assignment: insert keys in hash order;
+    slot_i = max(h_i, slot_{i-1}+1) over the hash-sorted sequence, i.e.
+    slot = rank + cummax(h - rank).  Valid (identical to masked probing)
+    as long as no slot exceeds t-1 and displacement stays <= 64; returns
+    (None, None) to signal a table resize otherwise."""
+    nb = hv.shape[0]
+    if nb == 0:
+        return np.zeros(0, np.int64), 0
+    order = np.argsort(hv, kind="stable")
+    hs = hv[order]
+    r = np.arange(nb, dtype=np.int64)
+    slots_sorted = r + np.maximum.accumulate(hs - r)
+    disp = slots_sorted - hs
+    if slots_sorted[-1] >= t or disp.max() > 64:
+        return None, None
+    slots = np.empty(nb, np.int64)
+    slots[order] = slots_sorted
+    return slots, int(disp.max())
+
+
 def _check_prefix_free(words: np.ndarray, lens: np.ndarray,
                        bstart: np.ndarray, bcount: np.ndarray) -> None:
-    """Within each bucket (entries sorted by length), no key may be a
-    prefix of a longer one."""
+    """No key may be a proper prefix of another (reference abortInsert,
+    src/hashtrie.cpp:146-149).
+
+    Vectorized: in the lexicographic order of zero-padded key words with
+    length as the final tiebreak, any prefix pair implies a prefix pair of
+    ADJACENT entries (every key between a and an extension of a also
+    extends a), so checking adjacent pairs is exhaustive."""
+    E = words.shape[0]
+    if E < 2:
+        return
     kw = words.shape[1]
-    for s, c in zip(bstart, bcount):
-        if c == 1:
-            continue
-        w = words[s : s + c]
-        l = lens[s : s + c]
-        masks = length_masks(l, kw)  # [c, kw]
-        for a in range(int(c) - 1):
-            # a has the (weakly) smallest length in a..end (sorted)
-            m = masks[a]
-            if ((w[a + 1 :] & m) == (w[a] & m)).all(axis=1).any():
-                raise ValueError(
-                    "Illegal insertion, another key with the same prefix already exists."
-                )
+    full = np.concatenate([words, lens[:, None].astype(np.uint32)], axis=1)
+    order = np.lexsort(tuple(full[:, c] for c in range(full.shape[1] - 1, -1, -1)))
+    w = words[order]
+    l = lens[order]
+    masks = length_masks(l[:-1], kw)           # [E-1, kw] masks of the shorter
+    shorter = l[:-1] < l[1:]
+    eq = ((w[1:] & masks) == (w[:-1] & masks)).all(axis=1)
+    if (shorter & eq).any():
+        raise ValueError(
+            "Illegal insertion, another key with the same prefix already exists."
+        )
 
 
 def save_flat_index(path: str, idx: FlatIndex) -> None:

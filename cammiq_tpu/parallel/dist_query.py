@@ -113,6 +113,31 @@ def shard_flat_index(idx: FlatIndex, mp: int, load_factor: float = 0.5) -> Shard
         orig_id=np.full((mp, e_pad), -1, np.int32),
     )
 
+    from ..index.table import _assign_slots
+
+    # vectorized per-shard slot assignment; grow the (shared) table size
+    # until every shard fits with bounded displacement
+    shard_slots = None
+    while True:
+        shard_slots = []
+        ok = True
+        for m in range(mp):
+            lo, hi = shards[m]["lo"], shards[m]["hi"]
+            bsel = (bstart >= lo) & (bstart < hi)
+            hv = hash_prefix(plo[bstart[bsel]], phi[bstart[bsel]]).astype(np.int64) & (t_size - 1)
+            slots, disp = _assign_slots(hv, t_size)
+            if slots is None:
+                ok = False
+                break
+            shard_slots.append((bsel, slots, disp))
+        if ok:
+            break
+        t_size *= 2
+        out.table_lo = np.zeros((mp, t_size), np.uint32)
+        out.table_hi = np.zeros((mp, t_size), np.uint32)
+        out.table_start = np.full((mp, t_size), -1, np.int32)
+        out.table_count = np.zeros((mp, t_size), np.int32)
+
     for m in range(mp):
         lo, hi = shards[m]["lo"], shards[m]["hi"]
         cnt = hi - lo
@@ -125,24 +150,14 @@ def shard_flat_index(idx: FlatIndex, mp: int, load_factor: float = 0.5) -> Shard
         out.ucount1[m, :cnt] = idx.ucount1[lo:hi]
         out.ucount2[m, :cnt] = idx.ucount2[lo:hi]
         out.orig_id[m, :cnt] = np.arange(lo, hi, dtype=np.int32)
-        # local buckets
-        bsel = (bstart >= lo) & (bstart < hi)
+        bsel, slots, disp = shard_slots[m]
         bs = bstart[bsel] - lo
         bc = np.diff(np.concatenate([bs, [cnt]]))
-        hv = hash_prefix(plo[bstart[bsel]], phi[bstart[bsel]]).astype(np.int64) & (t_size - 1)
-        occupied = np.zeros(t_size, bool)
-        for k in np.argsort(hv, kind="stable"):
-            slot = int(hv[k])
-            d = 0
-            while occupied[slot]:
-                slot = (slot + 1) & (t_size - 1)
-                d += 1
-            occupied[slot] = True
-            out.table_lo[m, slot] = plo[bstart[bsel][k]]
-            out.table_hi[m, slot] = phi[bstart[bsel][k]]
-            out.table_start[m, slot] = bs[k]
-            out.table_count[m, slot] = bc[k]
-            probes = max(probes, d + 1)
+        out.table_lo[m, slots] = plo[bstart[bsel]]
+        out.table_hi[m, slots] = phi[bstart[bsel]]
+        out.table_start[m, slots] = bs
+        out.table_count[m, slots] = bc
+        probes = max(probes, disp + 1)
     out.max_probes = probes
     return out
 

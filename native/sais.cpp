@@ -109,8 +109,16 @@ static int sais_core(const CharT* s, int64_t* sa, int64_t n, int64_t K,
   for (int64_t i = 0; i < n; ++i)
     if (sa[i] > 0 && is_lms(sa[i])) sorted_lms.push_back(sa[i]);
 
-  // name LMS substrings
-  std::vector<int64_t> name_of(n, -1);
+  // name LMS substrings.  Names are stored per LMS ordinal (m-sized);
+  // the text-position -> ordinal map is a binary search over `lms`
+  // (sorted by construction), avoiding an n-sized int64 name array -
+  // at multi-gigabase n that array alone would cost 8n bytes.
+  int64_t m = (int64_t)lms.size();
+  std::vector<int64_t> reduced(m, -1);
+  auto lms_ord = [&](int64_t pos) {
+    return (int64_t)(std::lower_bound(lms.begin(), lms.end(), pos) -
+                     lms.begin());
+  };
   int64_t names = 0;
   int64_t prev = -1;
   for (size_t k = 0; k < sorted_lms.size(); ++k) {
@@ -130,13 +138,10 @@ static int sais_core(const CharT* s, int64_t* sa, int64_t n, int64_t K,
       }
       if (!same) ++names;
     }
-    name_of[cur] = names - 1;
+    reduced[lms_ord(cur)] = names - 1;
     prev = cur;
   }
-
-  int64_t m = (int64_t)lms.size();
-  std::vector<int64_t> reduced(m);
-  for (int64_t i = 0; i < m; ++i) reduced[i] = name_of[lms[i]];
+  { std::vector<int64_t>().swap(sorted_lms); }  // free before recursion
 
   std::vector<int64_t> lms_order(m);
   if (names < m) {
@@ -148,6 +153,7 @@ static int sais_core(const CharT* s, int64_t* sa, int64_t n, int64_t K,
     // names unique: order directly
     for (int64_t i = 0; i < m; ++i) lms_order[reduced[i]] = lms[i];
   }
+  { std::vector<int64_t>().swap(reduced); }
 
   induce(lms_order, true);
   return 0;
