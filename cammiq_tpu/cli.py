@@ -38,7 +38,7 @@ def parse_args(argv: List[str]) -> dict:
         "read_cnt_thres": -1.0, "easy_thres": -1.0, "ilp_eps": -1.0,
         "ilp_alpha": -1.0, "max_cov": -1.0,
         "u_thres": -1.0, "d_thres": -1.0,
-        "engine": "auto", "profile": "",
+        "engine": "auto", "profile": "", "model_shards": 1,
     }
     i = 0
     while i < len(argv):
@@ -91,6 +91,9 @@ def parse_args(argv: List[str]) -> dict:
         elif v == "--engine":
             i += 1
             a["engine"] = argv[i]
+        elif v == "--model_shards":
+            i += 1
+            a["model_shards"] = int(argv[i])
         elif v == "--profile":
             i += 1
             a["profile"] = argv[i]
@@ -230,7 +233,29 @@ def run_query(a: dict) -> None:
     engine = {"auto": "sortjoin"}.get(a["engine"], a["engine"])
     if engine not in ("sortjoin", "gather"):
         engine = "sortjoin"
-    sess = QuerySession(index_u, index_d, G, qcfg, engine=engine)
+    # -t N at query time = N-way device parallelism over the 'data' mesh
+    # axis (the reference's -t sets OpenMP threads, src/main.cpp:358-359;
+    # devices are the TPU-native parallelism unit); --model_shards M
+    # additionally shards the index over the 'model' axis
+    mesh = None
+    if a["t"] > 1 or a["model_shards"] > 1:
+        import jax
+
+        from .parallel.mesh import make_mesh
+        from .parallel.multihost import initialize_cluster
+
+        initialize_cluster()
+        nd = len(jax.devices())
+        model = max(1, min(a["model_shards"], nd))
+        data = max(1, min(a["t"] if a["t"] > 1 else nd // model, nd // model))
+        if data * model > 1:
+            mesh = make_mesh(data=data, model=model)
+            print(f"Distributed query mesh: data={data} x model={model}.",
+                  file=sys.stderr)
+        else:
+            print(f"-t {a['t']} requested but only {nd} device(s) present; "
+                  f"running single-device.", file=sys.stderr)
+    sess = QuerySession(index_u, index_d, G, qcfg, engine=engine, mesh=mesh)
 
     files = a["fq_names"] or (list_fastq_dir(a["fq_dir"]) if a["fq_dir"] else [])
     if not files:

@@ -270,31 +270,54 @@ class DistSortJoinSession:
         num_genome_slots: int,
         sc_mode: bool = False,
         maxm: int = 32,
+        hit_capacity_frac: int = 32,
     ):
         import jax
-        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..query.classify import MatchSlots, case_analysis, rcounts_from_case
-        from ..query.sortjoin import (
-            DeviceMergedIndex,
-            build_merged_index,
-            collect_matches_sortjoin,
-        )
+        from ..query.sortjoin import build_merged_index
 
         self.mesh = mesh
         self.G = num_genome_slots
         mp = mesh.shape["model"]
         dp = mesh.shape["data"]
         self.mp, self.dp = mp, dp
+        self.sc = sc_mode
         m = build_merged_index(index_u, index_d)
         self.eu, self.ed = m.eu, m.ed
+        self._meta = (m.h, m.kw, m.max_bucket, m.n_colors)
         shards, e_pad, nb_pad = shard_merged_index(m, mp)
-        G = num_genome_slots
-        sc = sc_mode
-        h, kw, max_bucket = m.h, m.kw, m.max_bucket
-        n_colors = m.n_colors
-        eu, ed = m.eu, m.ed
+        self._fns = {}
+        self._maxm = maxm
+        self._frac = hit_capacity_frac
+        # multi-process meshes: every process holds the full host arrays
+        # and supplies its addressable shards via the callback API
+        # (device_put with a cross-process NamedSharding is not allowed)
+        if jax.process_count() > 1:
+            self._shards = {
+                k: jax.make_array_from_callback(
+                    v.shape, NamedSharding(mesh, P("model")),
+                    lambda idx, v=v: v[idx],
+                )
+                for k, v in shards.items()
+            }
+        else:
+            self._shards = jax.device_put(
+                shards, {k: NamedSharding(mesh, P("model")) for k in shards}
+            )
+
+    def _get_fn(self, frac: int, maxm: int):
+        key = (frac, maxm)
+        if key in self._fns:
+            return self._fns[key]
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..query.classify import MatchSlots, case_analysis, rcounts_from_case
+        from ..query.sortjoin import DeviceMergedIndex, collect_matches_sortjoin
+
+        h, kw, max_bucket, n_colors = self._meta
+        eu, ed, mp, G, sc = self.eu, self.ed, self.mp, self.G, self.sc
 
         def local_fn(sh, codes, lengths):
             dmi = DeviceMergedIndex(
@@ -307,8 +330,8 @@ class DistSortJoinSession:
                 bucket_start=sh["bucket_start"][0],
                 bucket_count=sh["bucket_count"][0],
             )
-            ms, ovh, ovs = collect_matches_sortjoin(dmi, codes, lengths,
-                                                    maxm=maxm)
+            ms, ovh, ovs = collect_matches_sortjoin(
+                dmi, codes, lengths, hit_capacity_frac=frac, maxm=maxm)
             gathered = MatchSlots(
                 *(jax.lax.all_gather(x, "model", axis=1, tiled=True) for x in ms)
             )
@@ -324,29 +347,60 @@ class DistSortJoinSession:
                 rcounts_from_case(case, eu, max(ed, 1)), ("data", "model")
             ) // mp
             ovh = jax.lax.psum(ovh, ("data", "model"))
+            ovs = jax.lax.psum(ovs, ("data", "model"))
             return (cnts_u, cnts_d, rcu, rcd, nundet, nconf,
-                    case.pair_lo, case.pair_hi, ovh)
+                    case.pair_lo, case.pair_hi, ovh, ovs)
 
-        spec_sh = {k: P("model") for k in shards}
+        spec_sh = {k: P("model") for k in self._shards}
         fn = shard_map_fn(
             self.mesh, local_fn,
             in_specs=(spec_sh, P("data", None), P("data")),
-            out_specs=(P(), P(), P(), P(), P(), P(), P("data"), P("data"), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P("data"), P("data"),
+                       P(), P()),
         )
-        self._fn = jax.jit(fn)
-        self._shards = jax.device_put(
-            shards, {k: NamedSharding(mesh, P("model")) for k in shards}
-        )
+        import jax as _jax
+
+        self._fns[key] = _jax.jit(fn)
+        return self._fns[key]
 
     def classify(self, codes: np.ndarray, lengths: np.ndarray):
+        """Classify with overflow auto-widen: a capacity overflow on any
+        shard re-runs the batch at a widened capacity (recompiles once per
+        tier, then cached) instead of killing the run - mirroring the
+        single-device retry in query/pipeline.py."""
+        import jax
         import jax.numpy as jnp
 
         from ..query.classify import BatchCounts
 
-        out = self._fn(self._shards, jnp.asarray(codes), jnp.asarray(lengths))
-        cnts_u, cnts_d, rcu, rcd, nundet, nconf, pair_lo, pair_hi, ovh = out
-        if int(ovh):
-            raise RuntimeError(f"sort-join capacity overflow across shards ({int(ovh)})")
+        frac, maxm = self._frac, self._maxm
+        # accept pre-assembled global arrays (multi-host callers build them
+        # with multihost.global_batch_from_local)
+        if not isinstance(codes, jax.Array):
+            codes = jnp.asarray(codes)
+        if not isinstance(lengths, jax.Array):
+            lengths = jnp.asarray(lengths)
+        while True:
+            out = self._get_fn(frac, maxm)(self._shards, codes, lengths)
+            (cnts_u, cnts_d, rcu, rcd, nundet, nconf, pair_lo, pair_hi,
+             ovh, ovs) = out
+            if not (int(ovh) or int(ovs)):
+                break
+            if int(ovh):
+                frac = max(frac // 2, 1)
+            if int(ovs):
+                maxm *= 2
+            if frac < 1 or maxm > 4096:
+                raise RuntimeError(
+                    f"sort-join capacity overflow persists across shards "
+                    f"(hits={int(ovh)}, slots={int(ovs)})")
+        if jax.process_count() > 1:
+            # pair rows are data-sharded across processes; gather them so
+            # every host sees the global per-read pair assignment
+            from jax.experimental import multihost_utils
+
+            pair_lo = multihost_utils.process_allgather(pair_lo, tiled=True)
+            pair_hi = multihost_utils.process_allgather(pair_hi, tiled=True)
         return BatchCounts(
             cnts_u=np.asarray(cnts_u), cnts_d=np.asarray(cnts_d),
             rcount_u=np.asarray(rcu)[: self.eu], rcount_d=np.asarray(rcd)[: self.ed],

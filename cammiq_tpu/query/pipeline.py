@@ -46,12 +46,40 @@ class QuerySession:
         num_genome_slots: int,
         cfg: QueryConfig | None = None,
         engine: str = "gather",
+        mesh=None,
     ):
         """engine: 'gather' (baseline per-position probe) or 'sortjoin'
-        (lax.sort merge join; fastest on TPU)."""
+        (lax.sort merge join; fastest on TPU).
+
+        mesh: optional ('data', 'model') jax Mesh - classification runs
+        distributed (reads sharded over 'data', the merged index over
+        'model', counts psum-merged; the TPU-native replacement for the
+        reference's OpenMP read loop, src/query.cpp:650-889)."""
         import jax
 
         self.cfg = cfg or QueryConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.dist_query import DistSortJoinSession
+
+            self._index_u, self._index_d = index_u, index_d
+            self._dist_sessions: Dict[bool, DistSortJoinSession] = {}
+            self.num_genome_slots = num_genome_slots
+            self.num_entries_u = index_u.num_entries
+            self.num_entries_d = index_d.num_entries if index_d is not None else 0
+            self.engine = "sortjoin-dist"
+
+            def dist_classify(codes, lengths, with_rcounts=True, sc_mode=False):
+                key = bool(sc_mode)
+                if key not in self._dist_sessions:
+                    self._dist_sessions[key] = DistSortJoinSession(
+                        mesh, self._index_u, self._index_d,
+                        num_genome_slots, sc_mode=sc_mode,
+                    )
+                return self._dist_sessions[key].classify(codes, lengths)
+
+            self._classify = dist_classify
+            return
         self.num_genome_slots = num_genome_slots
         self.num_entries_u = index_u.num_entries
         self.num_entries_d = index_d.num_entries if index_d is not None else 0
@@ -154,6 +182,9 @@ class QuerySession:
         if reads.num_reads < bs:
             bs = max(256, 1 << (max(reads.num_reads - 1, 1)).bit_length())
             bs = min(bs, self.cfg.batch_size)
+        if self.mesh is not None:
+            dp = self.mesh.shape["data"]
+            bs = ((bs + dp - 1) // dp) * dp
         if reads.num_reads:
             # trim the batch width to the longest read: every extra column
             # adds probe offsets to the hot loop

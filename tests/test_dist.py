@@ -17,30 +17,9 @@ ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 @pytest.fixture(scope="module")
 def setup():
-    rng = np.random.default_rng(5)
-    length = 400
-    shared = rng.integers(0, 4, size=150)
-    genomes = []
-    for g in range(4):
-        own = rng.integers(0, 4, size=length)
-        ins = int(rng.integers(0, length - 150))
-        seq = np.concatenate([own[:ins], shared, own[ins:]])
-        genomes.append([ALPHA[seq].tobytes()])
-    corpus = corpus_from_sequences(genomes)
-    cfg = BuildConfig(k=12, L=60, Lmax=30, h=12, mode="both")
-    art = build_index(corpus, cfg, engine="numpy")
-    reads = []
-    for _ in range(256):
-        g = int(rng.integers(0, 4))
-        c = genomes[g][0]
-        p = int(rng.integers(0, len(c) - 60))
-        r = c[p : p + 60]
-        if rng.random() < 0.5:
-            comp = {65: 84, 67: 71, 71: 67, 84: 65}
-            r = bytes(comp[b] for b in reversed(r))
-        reads.append(r)
-    rs = reads_from_arrays(reads, max_len=64)
-    G = int(corpus.ref_id.max()) + 1
+    from dist_fixture import make_dist_fixture
+
+    art, rs, G = make_dist_fixture()
     sess = QuerySession(art.unique_index, art.doubly_index, G,
                         QueryConfig(h=12, batch_size=256))
     ref_counts = sess.run(rs, sc_mode=False)
@@ -99,3 +78,45 @@ def test_dist_sortjoin_matches_single(setup, dp, mp):
     np.testing.assert_array_equal(out.rcount_d, ref.rcount_d)
     assert out.nundet == ref.nundet
     assert out.nconf == ref.nconf
+
+
+def test_dist_sortjoin_overflow_autowiden(setup):
+    """A deliberately undersized capacity must auto-widen and still match
+    (the single-device wrapper's retry, now on the distributed session)."""
+    import jax
+
+    from cammiq_tpu.parallel.dist_query import DistSortJoinSession
+
+    art, rs, G, ref, ref_sc = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(4, 2)
+    ds = DistSortJoinSession(mesh, art.unique_index, art.doubly_index, G,
+                             maxm=1, hit_capacity_frac=1 << 20)
+    out = ds.classify(rs.codes, rs.lengths)
+    np.testing.assert_array_equal(out.cnts_u, ref.cnts_u)
+    np.testing.assert_array_equal(out.cnts_d, ref.cnts_d)
+    np.testing.assert_array_equal(out.rcount_u, ref.rcount_u)
+    np.testing.assert_array_equal(out.rcount_d, ref.rcount_d)
+
+
+@pytest.mark.parametrize("dp,mp", [(4, 2), (8, 1)])
+def test_query_session_mesh_matches_single(setup, dp, mp):
+    """QuerySession(mesh=...) - the product-reachable distributed path
+    (CLI -t / --model_shards) - must equal the single-device session."""
+    import jax
+
+    art, rs, G, ref, ref_sc = setup
+    if dp * mp > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = make_mesh(dp, mp)
+    sess = QuerySession(art.unique_index, art.doubly_index, G,
+                        QueryConfig(h=12, batch_size=256), mesh=mesh)
+    out = sess.run(rs, sc_mode=False)
+    np.testing.assert_array_equal(out.cnts_u, ref.cnts_u)
+    np.testing.assert_array_equal(out.cnts_d, ref.cnts_d)
+    np.testing.assert_array_equal(out.rcount_u, ref.rcount_u)
+    np.testing.assert_array_equal(out.rcount_d, ref.rcount_d)
+    assert out.nundet == ref.nundet and out.nconf == ref.nconf
+    sc = sess.run(rs, sc_mode=True)
+    assert sc.pair_counts == ref_sc.pair_counts
