@@ -221,6 +221,9 @@ def shard_merged_index(m, mp: int):
     e_hi = e_lo[1:] + [E]
     e_pad = max(1, max(h - l for l, h in zip(e_lo, e_hi)))
 
+    from ..query.sortjoin import _build_directory
+
+    db = max(8, min(20, max(int(nb_pad).bit_length() - 5, 8)))
     out = dict(
         key_words=np.zeros((mp, e_pad, m.kw), np.uint32),
         length=np.full((mp, e_pad), 1 << 30, np.int32),
@@ -232,7 +235,9 @@ def shard_merged_index(m, mp: int):
         pref_hi=np.full((mp, nb_pad), 0xFFFFFFFF, np.uint32),
         bucket_start=np.zeros((mp, nb_pad), np.int32),
         bucket_count=np.zeros((mp, nb_pad), np.int32),
+        dir_start=np.zeros((mp, (1 << db) + 1), np.int32),
     )
+    span_steps = 1
     for i in range(mp):
         blo, bhi = cuts_b[i], cuts_b[i + 1]
         lo, hi = e_lo[i], e_hi[i]
@@ -249,7 +254,10 @@ def shard_merged_index(m, mp: int):
             out["pref_hi"][i, :bc] = m.pref_hi[blo:bhi]
             out["bucket_start"][i, :bc] = m.bucket_start[blo:bhi] - lo
             out["bucket_count"][i, :bc] = m.bucket_count[blo:bhi]
-    return out, e_pad, nb_pad
+        ds, _, st = _build_directory(out["pref_lo"][i], db=db)
+        out["dir_start"][i] = ds
+        span_steps = max(span_steps, st)
+    return out, e_pad, nb_pad, db, span_steps
 
 
 class DistSortJoinSession:
@@ -285,8 +293,8 @@ class DistSortJoinSession:
         self.sc = sc_mode
         m = build_merged_index(index_u, index_d)
         self.eu, self.ed = m.eu, m.ed
-        self._meta = (m.h, m.kw, m.max_bucket, m.n_colors)
-        shards, e_pad, nb_pad = shard_merged_index(m, mp)
+        shards, e_pad, nb_pad, db, span_steps = shard_merged_index(m, mp)
+        self._meta = (m.h, m.kw, m.max_bucket, m.n_colors, db, span_steps)
         self._fns = {}
         self._maxm = maxm
         self._frac = hit_capacity_frac
@@ -316,7 +324,7 @@ class DistSortJoinSession:
         from ..query.classify import MatchSlots, case_analysis, rcounts_from_case
         from ..query.sortjoin import DeviceMergedIndex, collect_matches_sortjoin
 
-        h, kw, max_bucket, n_colors = self._meta
+        h, kw, max_bucket, n_colors, db, span_steps = self._meta
         eu, ed, mp, G, sc = self.eu, self.ed, self.mp, self.G, self.sc
 
         def local_fn(sh, codes, lengths):
@@ -329,6 +337,8 @@ class DistSortJoinSession:
                 pref_lo=sh["pref_lo"][0], pref_hi=sh["pref_hi"][0],
                 bucket_start=sh["bucket_start"][0],
                 bucket_count=sh["bucket_count"][0],
+                dir_start=sh["dir_start"][0], dir_bits=db,
+                dir_span_steps=span_steps,
             )
             ms, ovh, ovs = collect_matches_sortjoin(
                 dmi, codes, lengths, hit_capacity_frac=frac, maxm=maxm)

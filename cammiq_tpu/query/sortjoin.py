@@ -46,7 +46,7 @@ from typing import Any, Optional, Tuple
 import numpy as np
 
 from ..index.table import FlatIndex, _prefix_lo_hi
-from ..ops.packing import pack_words
+from ..ops.packing import length_masks, pack_words
 from .classify import BIG, MatchSlots, revcomp_batch
 from .probe import pack_rolling16
 
@@ -74,6 +74,29 @@ class MergedIndex:
     pref_hi: np.ndarray       # uint32 [NB] secondary 9-bit prefix hash
     bucket_start: np.ndarray  # int32 [NB] entry span start (per hlo)
     bucket_count: np.ndarray  # int32 [NB] entry span length
+    # hash-space directory for the large-NB probe path: dir_start[t] =
+    # first bucket row whose top dir_bits of pref_lo equal t
+    dir_start: np.ndarray = None   # int32 [2^dir_bits + 1]
+    dir_bits: int = 0
+    dir_span_steps: int = 0        # binary-search rounds within a cell
+
+
+DIR_BITS = 20  # directory cells (4 MB of int32); ~NB/2^20 rows per cell
+
+
+def _build_directory(pref_lo: np.ndarray, db: int | None = None):
+    """(dir_start, dir_bits, span_steps) over the sorted bucket hashes."""
+    nb = pref_lo.shape[0]
+    if db is None:
+        db = max(8, min(DIR_BITS, max(int(nb).bit_length() - 5, 8)))
+    tops = (np.arange((1 << db) + 1, dtype=np.uint64) << (32 - db)).astype(np.uint64)
+    tops = np.minimum(tops, np.uint64(0xFFFFFFFF) + np.uint64(1))
+    dir_start = np.searchsorted(
+        pref_lo.astype(np.uint64), tops, side="left"
+    ).astype(np.int32)
+    max_span = int(np.diff(dir_start).max()) if nb else 1
+    steps = max(int(max_span).bit_length() + 1, 1)
+    return dir_start, db, steps
 
 
 _HHI_BITS = 9  # secondary-hash width stored per bucket row
@@ -103,19 +126,45 @@ def _hash_prefix(lo, hi, xp=np):
     return x, y & C((1 << _HHI_BITS) - 1)
 
 
+def _rev2bit_u32(x: np.ndarray) -> np.ndarray:
+    """Reverse the 16 2-bit groups within each uint32."""
+    C = np.uint32
+    x = ((x & C(0x33333333)) << C(2)) | ((x >> C(2)) & C(0x33333333))
+    x = ((x & C(0x0F0F0F0F)) << C(4)) | ((x >> C(4)) & C(0x0F0F0F0F))
+    x = ((x & C(0x00FF00FF)) << C(8)) | ((x >> C(8)) & C(0x00FF00FF))
+    return ((x << C(16)) | (x >> C(16))).astype(np.uint32)
+
+
 def _revcomp_packed(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.ndarray:
-    """Reverse-complement 2-bit-packed keys: rc[t] = 3 - key[len-1-t]."""
+    """Reverse-complement 2-bit-packed keys: rc[t] = 3 - key[len-1-t].
+
+    Pure packed-word bit-twiddling (complement = XOR, base reversal =
+    2-bit-group reversal + reversed word order, then a per-entry right
+    shift by the padding width) - the unpack-to-codes route costs
+    ~24 s per million entries at session build, this one is ~100x faster.
+    """
     E = key_words.shape[0]
-    maxl = kw * 16
-    t = np.arange(maxl)
-    shifts = (2 * (t % 16)).astype(np.uint32)
-    codes = (key_words[:, t // 16] >> shifts[None, :]) & np.uint32(3)
-    src = length[:, None].astype(np.int64) - 1 - t[None, :]
-    valid = src >= 0
-    src = np.clip(src, 0, maxl - 1)
-    g = np.take_along_axis(codes, src, axis=1)
-    rc = np.where(valid, np.uint32(3) - g, np.uint32(0))
-    return pack_words(rc.astype(np.int64), kw)
+    length = np.asarray(length, np.int64)
+    with np.errstate(over="ignore"):
+        # full-width reverse complement: complement codes, reverse 2-bit
+        # groups per word, reverse word order
+        wrev = _rev2bit_u32(key_words[:, ::-1] ^ np.uint32(0xFFFFFFFF))
+        # shift right by the pad bases so base 0 of the RC lands at bit 0
+        sb = kw * 16 - length                      # pad width in bases
+        ws = (sb // 16).astype(np.int64)           # whole-word shift
+        bs = (2 * (sb % 16)).astype(np.uint32)     # in-word bit shift
+        ext = np.concatenate([wrev, np.zeros((E, 1), np.uint32)], axis=1)
+        w_idx = np.arange(kw, dtype=np.int64)[None, :] + ws[:, None]
+        w_idx = np.minimum(w_idx, kw)
+        lo = np.take_along_axis(ext, w_idx, axis=1)
+        hi = np.take_along_axis(ext, np.minimum(w_idx + 1, kw), axis=1)
+        bs_c = bs[:, None]
+        out = np.where(
+            bs_c == 0, lo,
+            (lo >> bs_c) | (hi << ((np.uint32(32) - bs_c) & np.uint32(31))),
+        ).astype(np.uint32)
+        out &= length_masks(length, kw)
+    return out
 
 
 def _chain_colors(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.ndarray:
@@ -194,6 +243,7 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
     gid = np.arange(eu + ed, dtype=np.int32)
 
     if length.shape[0] == 0:
+        ds, db, steps = _build_directory(np.zeros(1, np.uint32))
         return MergedIndex(
             h=h, kw=kw, eu=eu, ed=ed, max_bucket=1, n_colors=1,
             key_words=np.zeros((1, kw), np.uint32),
@@ -202,6 +252,7 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
             gid=np.zeros(1, np.int32), color=np.zeros(1, np.int32),
             pref_lo=np.zeros(1, np.uint32), pref_hi=np.zeros(1, np.uint32),
             bucket_start=np.zeros(1, np.int32), bucket_count=np.zeros(1, np.int32),
+            dir_start=ds, dir_bits=db, dir_span_steps=steps,
         )
 
     # ---- RC augmentation: every entry gets a reverse-complement twin with
@@ -254,6 +305,8 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
     newb = np.ones(E, bool)
     newb[1:] = newspan[1:] | (hhi[1:] != hhi[:-1])
     brow = np.nonzero(newb)[0]
+    pref_lo_b = hlo[brow].astype(np.uint32)
+    ds, db, steps = _build_directory(pref_lo_b)
     return MergedIndex(
         h=h, kw=kw, eu=eu, ed=ed, max_bucket=int(scount.max()),
         n_colors=n_colors,
@@ -261,9 +314,10 @@ def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> Merg
         length=length.astype(np.int32),
         rid1=rid1.astype(np.int32), rid2=rid2.astype(np.int32),
         gid=gid.astype(np.int32), color=color.astype(np.int32),
-        pref_lo=hlo[brow].astype(np.uint32), pref_hi=hhi[brow].astype(np.uint32),
+        pref_lo=pref_lo_b, pref_hi=hhi[brow].astype(np.uint32),
         bucket_start=sstart[span_id[brow]].astype(np.int32),
         bucket_count=scount[span_id[brow]].astype(np.int32),
+        dir_start=ds, dir_bits=db, dir_span_steps=steps,
     )
 
 
@@ -285,11 +339,53 @@ class DeviceMergedIndex:
     pref_hi: Any
     bucket_start: Any
     bucket_count: Any
+    dir_start: Any = None
+    dir_bits: int = 0
+    dir_span_steps: int = 0
+    # fused per-entry / per-bucket records, precomputed ONCE at session
+    # setup so the hot loop does pure row-gathers instead of rebuilding
+    # multi-GB concatenations every batch:
+    #   erec [E, kw+1]: key words + (length | color<<16)
+    #   brec [NB, 2]:   bucket (start, count)
+    #   prec [E, 3]:    (gid, rid1, rid2) payloads
+    erec: Any = None
+    brec: Any = None
+    prec: Any = None
+
+
+# array fields passed into the jitted classifier as ARGUMENTS (a closure
+# capture would bake gigabytes of index into the executable as constants)
+_DM_ARRAYS = ("key_words", "length", "rid1", "rid2", "gid", "color",
+              "pref_lo", "pref_hi", "bucket_start", "bucket_count",
+              "dir_start", "erec", "brec", "prec")
+_DM_STATIC = ("h", "kw", "eu", "ed", "max_bucket", "n_colors", "dir_bits",
+              "dir_span_steps")
+
+NEVER_LEN = 0xFFFF  # erec length field for oversize/pad entries
+
+
+def _fused_records(key_words, length, color, bucket_start, bucket_count,
+                   gid, rid1, rid2, xp):
+    elen_pack = (
+        xp.minimum(length, NEVER_LEN).astype(xp.int32)
+        | (color.astype(xp.int32) << 16)
+    )
+    erec = xp.concatenate(
+        [key_words.astype(xp.uint32), elen_pack[:, None].astype(xp.uint32)],
+        axis=1,
+    )
+    brec = xp.stack([bucket_start, bucket_count], axis=-1)
+    prec = xp.stack([gid, rid1, rid2], axis=-1)
+    return erec, brec, prec
 
 
 def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
     import jax.numpy as jnp
 
+    erec, brec, prec = _fused_records(
+        m.key_words, m.length, m.color, m.bucket_start, m.bucket_count,
+        m.gid, m.rid1, m.rid2, np,
+    )
     return DeviceMergedIndex(
         h=m.h, kw=m.kw, eu=m.eu, ed=m.ed, max_bucket=m.max_bucket,
         n_colors=m.n_colors,
@@ -300,6 +396,10 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
         pref_lo=jnp.asarray(m.pref_lo), pref_hi=jnp.asarray(m.pref_hi),
         bucket_start=jnp.asarray(m.bucket_start),
         bucket_count=jnp.asarray(m.bucket_count),
+        dir_start=(jnp.asarray(m.dir_start) if m.dir_start is not None else None),
+        dir_bits=m.dir_bits, dir_span_steps=m.dir_span_steps,
+        erec=jnp.asarray(erec), brec=jnp.asarray(brec),
+        prec=jnp.asarray(prec),
     )
 
 
@@ -331,6 +431,7 @@ def collect_matches_sortjoin(
     maxm: int = 32,
     uniform_len: int | None = None,
     return_compact: bool = False,
+    join: str = "auto",
 ):
     """MatchSlots [B, maxm] via the sort-join probe (forward strand only;
     the merged index is RC-augmented, see module docstring).
@@ -342,6 +443,7 @@ def collect_matches_sortjoin(
     return_compact: additionally return the compacted distinct match rows
     (read_id, gid, distinct mask; n_colors*K each) so rcounts can be
     scattered at match granularity (~hits) instead of B*maxm slots.
+    join: 'auto' (directory when NB > 4N), 'sort', or 'dir'.
     """
     import jax
     import jax.numpy as jnp
@@ -383,70 +485,109 @@ def collect_matches_sortjoin(
     klo = (W0 & m0).reshape(-1)
     N = B * O
 
-    # ---- sort-merge join of probe prefixes with table buckets, on a
-    # HASHED key: word1 = 32-bit primary hash, word2 fuses the secondary
-    # hash | tag | row id, so the whole join sorts TWO operands (the join
-    # sort is the single largest HBM consumer in the hot loop).  A hash
-    # false-join only wastes a compaction slot — the bucket scan fully
-    # verifies candidates — and expected false joins are N*NB/2^(32+hb)
-    # per batch.  Row ids are part of the sort key, so within a tied run
-    # real bucket rows (low ids) sort before shard padding rows (high
-    # ids) and can never be shadowed.
     khlo, khhi = _hash_prefix(klo, khi, jnp)
-    row_bits = max(int(max(N, NB) - 1).bit_length(), 1)
-    hb = min(_HHI_BITS, 31 - row_bits)
-    if hb < 0:
-        raise ValueError(
-            f"sort-join row id needs {row_bits} bits (> 31): shard the "
-            f"index (NB={NB}) or reduce the batch (N={N})")
-    jw1 = jnp.concatenate([dm.pref_lo, khlo])
-    jhhi = jnp.concatenate([dm.pref_hi, khhi]) & jnp.uint32((1 << hb) - 1)
-    jtag = jnp.concatenate(
-        [jnp.zeros(NB, jnp.uint32), jnp.ones(N, jnp.uint32)]
-    )
-    jrow = jnp.concatenate(
-        [jnp.arange(NB, dtype=jnp.uint32), jnp.arange(N, dtype=jnp.uint32)]
-    )
-    jw2 = (jhhi << (row_bits + 1)) | (jtag << row_bits) | jrow
-    sw1, sw2 = jax.lax.sort([jw1, jw2], num_keys=2, is_stable=False)
-    stag = ((sw2 >> row_bits) & 1).astype(jnp.int32)
-    sval = (sw2 & jnp.uint32((1 << row_bits) - 1)).astype(jnp.int32)
-    srun = sw2 >> (row_bits + 1)  # secondary hash bits
-    is_start = jnp.concatenate(
-        [jnp.ones(1, bool),
-         (sw1[1:] != sw1[:-1]) | (srun[1:] != srun[:-1])]
-    )
-    # first-of-run is the table row iff the bucket exists (tag sorts first)
-    has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
-    import os
-
-    use_pallas = os.environ.get("CAMMIQ_PALLAS_SCAN", "auto")
-    if use_pallas == "1" or (
-        use_pallas == "auto" and jax.default_backend() != "cpu"
-    ):
-        from ..ops.pallas_scan import first_of_run_scan_pallas
-
-        pbid, ptab = first_of_run_scan_pallas(is_start, sval, has_tab)
-    else:
-        pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
-    probe_hit = (stag == 1) & (ptab > 0)
-
-    # ---- compact hits to capacity K: a single 1-key sort on a fused
-    # (miss-flag | sorted-row) key brings the hit rows (in order) to the
-    # front; then gather the (tiny) per-hit fields from the sorted arrays
-    K = min(max(N // hit_capacity_frac, 256), N + NB)
-    rows = jnp.arange(N + NB, dtype=jnp.int32)
     BIGOFF = jnp.int32(1 << 30)
-    fkey = jnp.where(probe_hit, rows, rows + BIGOFF)
-    # unstable single-operand sort (keys are distinct; jnp.sort would add
-    # a tiebreak-iota payload column)
-    skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K]
-    cv = skey < BIGOFF
-    crow_c = jnp.where(cv, skey, 0)
-    cpos = jnp.where(cv, sval[crow_c], -1)
-    cbid = pbid[crow_c]
-    # bucket (start, count) as one row-gather
-    brec = jnp.stack([dm.bucket_start, dm.bucket_count], axis=-1)
+    use_dir = dm.dir_start is not None and (
+        join == "dir" or (join == "auto" and NB > 4 * N)
+    )
+    if use_dir:
+        # ---- directory + binary-search join (large-index regime).  When
+        # the bucket list dwarfs the probe list, sorting NB+N rows per
+        # batch pays NB log(NB) for static data; instead the top dir_bits
+        # of each probe hash index a precomputed directory cell, and a
+        # fixed-round lower_bound over the (sorted) cell finds the bucket
+        # row: O(N * dir_span_steps) gathers, independent of NB.
+        db = dm.dir_bits
+        top = (khlo >> jnp.uint32(32 - db)).astype(jnp.int32)
+        blo = dm.dir_start[top]
+        bhi = dm.dir_start[top + 1]
+
+        def bs_body(_, lh):
+            lo, hi2 = lh
+            active = lo < hi2
+            mid = (lo + hi2) >> 1
+            v = dm.pref_lo[jnp.clip(mid, 0, NB - 1)]
+            less = v < khlo
+            nlo = jnp.where(less, mid + 1, lo)
+            nhi = jnp.where(less, hi2, mid)
+            return (jnp.where(active, nlo, lo), jnp.where(active, nhi, hi2))
+
+        blo, bhi = jax.lax.fori_loop(0, dm.dir_span_steps, bs_body, (blo, bhi))
+        found_row = jnp.minimum(blo, NB - 1)
+        probe_hit = (blo < NB) & (dm.pref_lo[found_row] == khlo)   # [N]
+        # compact hit probes to capacity K with one single-operand sort
+        K = min(max(N // hit_capacity_frac, 256), N)
+        rows = jnp.arange(N, dtype=jnp.int32)
+        fkey = jnp.where(probe_hit, rows, rows + BIGOFF)
+        skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K]
+        cv = skey < BIGOFF
+        cpos = jnp.where(cv, skey, -1)
+        cbid = found_row[jnp.maximum(cpos, 0)]
+    else:
+        # ---- sort-merge join of probe prefixes with table buckets, on a
+        # HASHED key: word1 = 32-bit primary hash, word2 fuses the
+        # secondary hash | tag | row id, so the whole join sorts TWO
+        # operands (the join sort is the single largest HBM consumer in
+        # the hot loop).  A hash false-join only wastes a compaction slot
+        # — the bucket scan fully verifies candidates — and expected false
+        # joins are N*NB/2^(32+hb) per batch.  Row ids are part of the
+        # sort key, so within a tied run real bucket rows (low ids) sort
+        # before shard padding rows (high ids) and can never be shadowed.
+        row_bits = max(int(max(N, NB) - 1).bit_length(), 1)
+        hb = min(_HHI_BITS, 31 - row_bits)
+        if hb < 0:
+            raise ValueError(
+                f"sort-join row id needs {row_bits} bits (> 31): shard the "
+                f"index (NB={NB}) or reduce the batch (N={N})")
+        jw1 = jnp.concatenate([dm.pref_lo, khlo])
+        jhhi = jnp.concatenate([dm.pref_hi, khhi]) & jnp.uint32((1 << hb) - 1)
+        jtag = jnp.concatenate(
+            [jnp.zeros(NB, jnp.uint32), jnp.ones(N, jnp.uint32)]
+        )
+        jrow = jnp.concatenate(
+            [jnp.arange(NB, dtype=jnp.uint32), jnp.arange(N, dtype=jnp.uint32)]
+        )
+        jw2 = (jhhi << (row_bits + 1)) | (jtag << row_bits) | jrow
+        sw1, sw2 = jax.lax.sort([jw1, jw2], num_keys=2, is_stable=False)
+        stag = ((sw2 >> row_bits) & 1).astype(jnp.int32)
+        sval = (sw2 & jnp.uint32((1 << row_bits) - 1)).astype(jnp.int32)
+        srun = sw2 >> (row_bits + 1)  # secondary hash bits
+        is_start = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (sw1[1:] != sw1[:-1]) | (srun[1:] != srun[:-1])]
+        )
+        # first-of-run is the table row iff the bucket exists (tag first)
+        has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
+        import os
+
+        use_pallas = os.environ.get("CAMMIQ_PALLAS_SCAN", "auto")
+        if use_pallas == "1" or (
+            use_pallas == "auto" and jax.default_backend() != "cpu"
+        ):
+            from ..ops.pallas_scan import first_of_run_scan_pallas
+
+            pbid, ptab = first_of_run_scan_pallas(is_start, sval, has_tab)
+        else:
+            pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
+        probe_hit = (stag == 1) & (ptab > 0)
+
+        # ---- compact hits to capacity K: a single 1-key sort on a fused
+        # (miss-flag | sorted-row) key brings the hit rows (in order) to
+        # the front; per-hit fields gather from the sorted arrays
+        K = min(max(N // hit_capacity_frac, 256), N + NB)
+        rows = jnp.arange(N + NB, dtype=jnp.int32)
+        fkey = jnp.where(probe_hit, rows, rows + BIGOFF)
+        # unstable single-operand sort (keys are distinct; jnp.sort would
+        # add a tiebreak-iota payload column)
+        skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K]
+        cv = skey < BIGOFF
+        crow_c = jnp.where(cv, skey, 0)
+        cpos = jnp.where(cv, sval[crow_c], -1)
+        cbid = pbid[crow_c]
+    # bucket (start, count) as one row-gather (precomputed at session
+    # setup when available; rebuilding costs a full-index copy per batch)
+    brec = dm.brec if dm.brec is not None else jnp.stack(
+        [dm.bucket_start, dm.bucket_count], axis=-1)
     crec = brec[cbid]
     cstart = jnp.where(cv, crec[:, 0], 0)
     ccnt = jnp.where(cv, crec[:, 1], 0)
@@ -463,13 +604,16 @@ def collect_matches_sortjoin(
     r2 = jnp.where(cvalid, cpos // O, 0)              # read row
     o2 = jnp.where(cvalid, cpos % O, 0)
     avail = lengths[r2] - o2
-    Emax = dm.length.shape[0]
-    NEVER = jnp.int32(0xFFFF)  # length field for oversize/pad entries
-    elen_pack = jnp.minimum(dm.length, NEVER) | (dm.color.astype(jnp.int32) << 16)
-    erec = jnp.concatenate(
-        [dm.key_words.astype(jnp.uint32),
-         elen_pack[:, None].astype(jnp.uint32)], axis=1,
-    )                                                 # [E, kw+1]
+    if dm.erec is not None:
+        erec = dm.erec                                # [E, kw+1] (session)
+    else:
+        elen_pack = (jnp.minimum(dm.length, NEVER_LEN)
+                     | (dm.color.astype(jnp.int32) << 16))
+        erec = jnp.concatenate(
+            [dm.key_words.astype(jnp.uint32),
+             elen_pack[:, None].astype(jnp.uint32)], axis=1,
+        )
+    Emax = erec.shape[0]
     pwords = p16s[jnp.maximum(cpos, 0)]               # [K, kw]
     # one found-slot per chain color, held as a [K, NC+1] matrix (column
     # NC is a dump slot for non-matches) so the traced program does one
@@ -495,7 +639,8 @@ def collect_matches_sortjoin(
         found = found.at[rows_k, jnp.where(match, ecol, NC)].set(e)
 
     # match payloads at candidate granularity: one [K*NC, 3] row-gather
-    prec = jnp.stack([dm.gid, dm.rid1, dm.rid2], axis=-1)
+    prec = dm.prec if dm.prec is not None else jnp.stack(
+        [dm.gid, dm.rid1, dm.rid2], axis=-1)
     fr = found[:, :NC].reshape(-1)                    # [K*NC]
     hitf = fr >= 0
     pr = prec[jnp.maximum(fr, 0)]
@@ -554,12 +699,20 @@ def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
 
     from .classify import BatchCounts, case_analysis
 
+    # index arrays travel as jit ARGUMENTS (device-resident, zero-copy per
+    # call); a closure capture would bake the multi-GB index into the
+    # compiled executable as constants
+    dm_arrays = {k: getattr(dm, k) for k in _DM_ARRAYS
+                 if getattr(dm, k) is not None}
+    dm_static = {k: getattr(dm, k) for k in _DM_STATIC}
+
     @partial_jit(static_argnames=("sc_mode",))
-    def part1(codes, lengths, sc_mode):
+    def part1(arrays, codes, lengths, sc_mode):
+        dmi = DeviceMergedIndex(**dm_static, **arrays)
         # uniform_len is a no-op in the fwd-only probe; keeping it out of
         # the jit signature avoids one recompile per distinct read length
         ms, ovh, ovs, compact = collect_matches_sortjoin(
-            dm, codes, lengths, hit_capacity_frac=hit_capacity_frac,
+            dmi, codes, lengths, hit_capacity_frac=hit_capacity_frac,
             maxm=maxm, uniform_len=None, return_compact=True,
         )
         case = case_analysis(ms, lengths, num_genome_slots, sc_mode=sc_mode)
@@ -583,7 +736,8 @@ def make_sortjoin_classifier(dm: DeviceMergedIndex, num_genome_slots: int,
     def classify(codes, lengths, with_rcounts=True, sc_mode=False,
                  uniform_len=None):
         del uniform_len  # no-op for the fwd-only probe (API compatibility)
-        case, ovh, ovs, compact = part1(codes, lengths, sc_mode=sc_mode)
+        case, ovh, ovs, compact = part1(dm_arrays, codes, lengths,
+                                        sc_mode=sc_mode)
         if with_rcounts:
             rcu, rcd = part2(*compact, case.assigned)
             if dm.eu == 0:

@@ -109,3 +109,26 @@ def test_session_sortjoin_engine(setup):
     np.testing.assert_array_equal(got.rcount_d, ref.rcount_d)
     got_sc = sess.run(rs, sc_mode=True)
     assert got_sc.pair_counts == ref_sc.pair_counts
+
+
+def test_dir_join_matches_sort_join():
+    """The directory + binary-search join (large-index regime) must
+    produce exactly the same matches as the 2-operand sort join."""
+    import jax.numpy as jnp
+
+    from dist_fixture import make_dist_fixture
+    from cammiq_tpu.query.sortjoin import (
+        build_merged_index, collect_matches_sortjoin, to_device_merged,
+    )
+
+    art, rs, G = make_dist_fixture(seed=11)
+    dm = to_device_merged(build_merged_index(art.unique_index, art.doubly_index))
+    codes = jnp.asarray(rs.codes)
+    lengths = jnp.asarray(rs.lengths)
+    a, ovh_a, ovs_a = collect_matches_sortjoin(dm, codes, lengths, join="sort", hit_capacity_frac=1)
+    b, ovh_b, ovs_b = collect_matches_sortjoin(dm, codes, lengths, join="dir", hit_capacity_frac=1)
+    assert int(ovh_a) == 0 and int(ovh_b) == 0
+    np.testing.assert_array_equal(np.asarray(a.slots), np.asarray(b.slots))
+    np.testing.assert_array_equal(np.asarray(a.rid1), np.asarray(b.rid1))
+    np.testing.assert_array_equal(np.asarray(a.rid2), np.asarray(b.rid2))
+    np.testing.assert_array_equal(np.asarray(a.in_u), np.asarray(b.in_u))
