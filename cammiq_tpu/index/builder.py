@@ -171,6 +171,7 @@ def build_index(
         with stage_timer("organizing index", timings, verbose):
             sel = select_substrings(
                 corpus, mu, occ, cfg.L, cfg.Lmax, num_groups=cfg.num_groups,
+                engine="native" if sweeps else "fast",
                 unique_if_advance=cfg.unique_if_advance,
             )
             unique_index = build_flat_index(corpus.seq, sel, cfg.h, cfg.Lmax, False)
@@ -220,6 +221,7 @@ def build_index(
             sel_d = select_substrings(
                 corpus, mu_d, occ_d, cfg.L, cfg.Lmax,
                 gsa2_text=dres.gsa2, occ2=occ2_d, num_groups=cfg.num_groups,
+                engine="native" if sweeps else "fast",
             )
             doubly_index = build_flat_index(
                 corpus.seq, sel_d, cfg.h_doubly, cfg.Lmax, True

@@ -67,12 +67,14 @@ def select_substrings(
     gsa2_text: Optional[np.ndarray] = None,
     occ2: Optional[np.ndarray] = None,
     num_groups: int = 1,
-    engine: str = "fast",
+    engine: str = "auto",
     unique_if_advance: bool = False,
 ) -> SelectedSubstrings:
     """Sparsified selection; engine='fast' uses the vectorized path
     (identical output, see select_substrings_fast), 'exact' the scalar
-    reference transcription.
+    reference transcription, 'auto'/'native' the C++ sweep when built
+    (an explicit 'fast' is honored even when the native library exists,
+    so the vectorized path keeps test coverage).
 
     unique_if_advance: bit-parity mode - reproduce the reference's
     `if`-advance over contig boundaries in the UNIQUE variant
@@ -83,7 +85,7 @@ def select_substrings(
     engine='native' (auto-picked when the C++ library is built) runs the
     O(n)-time / O(1)-memory sweep in native/sweeps.cpp - the production
     path at multi-GB corpus scale."""
-    if engine in ("fast", "native"):
+    if engine in ("auto", "native"):
         from .. import native as _native
 
         if _native.has_sweeps():
@@ -109,6 +111,8 @@ def select_substrings(
                 occ=occ_sel, rid2=rid2_sel, occ2=occ2_sel,
                 ulm_count=ulm,
             )
+    if engine in ("auto", "native"):
+        engine = "fast"  # requested/auto native, library not built
     if unique_if_advance and gsa2_text is None:
         engine = "exact"
     if engine == "fast":

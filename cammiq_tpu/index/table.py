@@ -28,7 +28,7 @@ from typing import Tuple
 
 import numpy as np
 
-from ..ops.packing import SYMBOL_IDX, length_masks, pack_words
+from ..ops.packing import SYMBOL_IDX, length_masks, pack_words, rev2bit_u32
 from .sparsify import SelectedSubstrings
 
 _HASH_C1 = np.uint32(0x85EBCA6B)
@@ -262,16 +262,21 @@ def _check_prefix_free(words: np.ndarray, lens: np.ndarray,
     """No key may be a proper prefix of another (reference abortInsert,
     src/hashtrie.cpp:146-149).
 
-    Vectorized: in the lexicographic order of zero-padded key words with
+    Vectorized: in the SYMBOL-lexicographic order of zero-padded keys with
     length as the final tiebreak, any prefix pair implies a prefix pair of
-    ADJACENT entries (every key between a and an extension of a also
-    extends a), so checking adjacent pairs is exhaustive."""
+    ADJACENT entries (every key sorting between a and an extension of a
+    also extends a), so checking adjacent pairs is exhaustive.  Raw packed
+    words are NOT symbol-lexicographic (base t sits at the LOW bits
+    2*(t%16), so uint32 order compares the last base of a word first);
+    sorting must use the bit-group-reversed words, where base 0 occupies
+    the most-significant bits and padding stays below."""
     E = words.shape[0]
     if E < 2:
         return
     kw = words.shape[1]
-    full = np.concatenate([words, lens[:, None].astype(np.uint32)], axis=1)
-    order = np.lexsort(tuple(full[:, c] for c in range(full.shape[1] - 1, -1, -1)))
+    rw = rev2bit_u32(words)
+    # np.lexsort: LAST key is primary -> (lens, rw[kw-1], ..., rw[0])
+    order = np.lexsort((lens,) + tuple(rw[:, c] for c in range(kw - 1, -1, -1)))
     w = words[order]
     l = lens[order]
     masks = length_masks(l[:-1], kw)           # [E-1, kw] masks of the shorter

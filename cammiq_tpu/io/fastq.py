@@ -76,12 +76,16 @@ def read_fastq(
     equivalent).
 
     engine: 'auto' (native C++ parser when built, ~40x the Python loop),
-    'native', or 'python'.
+    'native', or 'python'.  An explicit rng routes 'auto' to the python
+    engine: the native parser draws N-substitutions from its own fixed
+    LCG, so honoring the caller's generator requires the python path
+    (pass engine='native' to override).
     """
     if engine == "auto":
         from .. import native
 
-        engine = "native" if native.available() else "python"
+        engine = ("native" if native.available() and rng is None
+                  else "python")
     if engine == "native":
         from .. import native
 

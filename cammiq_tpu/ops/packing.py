@@ -85,6 +85,20 @@ def pack_words(codes: np.ndarray, n_words: int) -> np.ndarray:
     return words.astype(np.uint32)
 
 
+def rev2bit_u32(x: np.ndarray) -> np.ndarray:
+    """Reverse the 16 2-bit groups within each uint32.
+
+    With the base-t-at-low-bits packing convention, reversed words compare
+    symbol-lexicographically (base 0 lands in the most-significant bits),
+    which sorted-order prefix checks rely on."""
+    C = np.uint32
+    x = np.asarray(x, np.uint32)
+    x = ((x & C(0x33333333)) << C(2)) | ((x >> C(2)) & C(0x33333333))
+    x = ((x & C(0x0F0F0F0F)) << C(4)) | ((x >> C(4)) & C(0x0F0F0F0F))
+    x = ((x & C(0x00FF00FF)) << C(8)) | ((x >> C(8)) & C(0x00FF00FF))
+    return ((x << C(16)) | (x >> C(16))).astype(np.uint32)
+
+
 def length_masks(lengths: np.ndarray, n_words: int) -> np.ndarray:
     """Per-word AND-masks selecting the first `lengths` bases.
 

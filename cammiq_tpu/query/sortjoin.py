@@ -46,7 +46,7 @@ from typing import Any, Optional, Tuple
 import numpy as np
 
 from ..index.table import FlatIndex, _prefix_lo_hi
-from ..ops.packing import length_masks, pack_words
+from ..ops.packing import length_masks, pack_words, rev2bit_u32
 from .classify import BIG, MatchSlots, revcomp_batch
 from .probe import pack_rolling16
 
@@ -126,13 +126,7 @@ def _hash_prefix(lo, hi, xp=np):
     return x, y & C((1 << _HHI_BITS) - 1)
 
 
-def _rev2bit_u32(x: np.ndarray) -> np.ndarray:
-    """Reverse the 16 2-bit groups within each uint32."""
-    C = np.uint32
-    x = ((x & C(0x33333333)) << C(2)) | ((x >> C(2)) & C(0x33333333))
-    x = ((x & C(0x0F0F0F0F)) << C(4)) | ((x >> C(4)) & C(0x0F0F0F0F))
-    x = ((x & C(0x00FF00FF)) << C(8)) | ((x >> C(8)) & C(0x00FF00FF))
-    return ((x << C(16)) | (x >> C(16))).astype(np.uint32)
+_rev2bit_u32 = rev2bit_u32  # shared with index/table.py's prefix-free check
 
 
 def _revcomp_packed(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.ndarray:
