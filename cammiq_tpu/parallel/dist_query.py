@@ -373,6 +373,34 @@ class DistSortJoinSession:
         self._fns[key] = _jax.jit(fn)
         return self._fns[key]
 
+    def classify_raw(self, codes, lengths, with_rcounts: bool = True):
+        """Device-resident classification of one (global) batch: returns
+        (BatchCounts of device arrays, overflow_hits, overflow_slots)
+        with NO host syncs — the caller accumulates across batches on
+        device and checks overflow once per pass (query/pipeline.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..query.classify import BatchCounts
+
+        if not isinstance(codes, jax.Array):
+            codes = jnp.asarray(codes)
+        if not isinstance(lengths, jax.Array):
+            lengths = jnp.asarray(lengths)
+        out = self._get_fn(self._frac, self._maxm)(self._shards, codes, lengths)
+        (cnts_u, cnts_d, rcu, rcd, nundet, nconf, pair_lo, pair_hi,
+         ovh, ovs) = out
+        return (
+            BatchCounts(
+                cnts_u=cnts_u, cnts_d=cnts_d,
+                rcount_u=rcu[: self.eu],
+                rcount_d=rcd[: self.ed],
+                nundet=nundet, nconf=nconf,
+                pair_lo=pair_lo, pair_hi=pair_hi,
+            ),
+            ovh, ovs,
+        )
+
     def classify(self, codes: np.ndarray, lengths: np.ndarray):
         """Classify with overflow auto-widen: a capacity overflow on any
         shard re-runs the batch at a widened capacity (recompiles once per

@@ -3,6 +3,12 @@
 Host-side equivalent of FqReader::queryFastq_p / _sc up to (but excluding)
 the solver stage (src/query.cpp:231-369).  The distributed variant lives in
 parallel/dist_query.py.
+
+Counts accumulate ON DEVICE across batches (donated-buffer jitted add):
+the steady-state loop issues two async dispatches per batch and never
+blocks on a transfer — overflow flags are checked ONCE per pass, and a
+capacity overflow re-runs the whole read set at a widened (sticky)
+capacity instead of syncing per batch.
 """
 
 from __future__ import annotations
@@ -19,6 +25,11 @@ from ..io.fastq import ReadSet
 from ..utils.timing import Timings, stage_timer
 from .classify import classify_batch
 from .probe import DeviceIndex, to_device_index
+
+# sc-mode pair counts accumulate in a [G+1, G+1] device matrix when the
+# genome count is at most this; beyond it the per-batch host fallback
+# (np.unique on the pair rows) keeps memory bounded
+PAIR_MATRIX_MAX_G = 4096
 
 
 @dataclasses.dataclass
@@ -59,30 +70,17 @@ class QuerySession:
 
         self.cfg = cfg or QueryConfig()
         self.mesh = mesh
+        self._acc_step_fn = None
+        self.num_genome_slots = num_genome_slots
+        self.num_entries_u = index_u.num_entries
+        self.num_entries_d = index_d.num_entries if index_d is not None else 0
         if mesh is not None:
             from ..parallel.dist_query import DistSortJoinSession
 
             self._index_u, self._index_d = index_u, index_d
             self._dist_sessions: Dict[bool, DistSortJoinSession] = {}
-            self.num_genome_slots = num_genome_slots
-            self.num_entries_u = index_u.num_entries
-            self.num_entries_d = index_d.num_entries if index_d is not None else 0
             self.engine = "sortjoin-dist"
-
-            def dist_classify(codes, lengths, with_rcounts=True, sc_mode=False):
-                key = bool(sc_mode)
-                if key not in self._dist_sessions:
-                    self._dist_sessions[key] = DistSortJoinSession(
-                        mesh, self._index_u, self._index_d,
-                        num_genome_slots, sc_mode=sc_mode,
-                    )
-                return self._dist_sessions[key].classify(codes, lengths)
-
-            self._classify = dist_classify
             return
-        self.num_genome_slots = num_genome_slots
-        self.num_entries_u = index_u.num_entries
-        self.num_entries_d = index_d.num_entries if index_d is not None else 0
         self.didx_u = to_device_index(index_u)
         if index_d is None:
             # empty doubly table: dummy never-matching index with same h
@@ -111,48 +109,13 @@ class QuerySession:
         if engine == "sortjoin":
             from .sortjoin import build_merged_index, make_sortjoin_classifier, to_device_merged
 
-            dm = to_device_merged(build_merged_index(index_u, index_d))
-            classifiers = {}
-
-            def get_classifier(frac, maxm):
-                key = (frac, maxm)
-                if key not in classifiers:
-                    classifiers[key] = make_sortjoin_classifier(
-                        dm, num_genome_slots,
-                        hit_capacity_frac=frac, maxm=maxm,
-                    )
-                return classifiers[key]
-
-            def wrapped(codes, lengths, with_rcounts=True, sc_mode=False):
-                import numpy as _np
-
-                ln = _np.asarray(lengths)
-                real = ln[ln > 0]
-                ul = int(real[0]) if real.size and (real == real[0]).all() and (ln > 0).all() else None
-                # fwd-only probe: N = B*O, so frac=32 gives the same
-                # absolute hit capacity the 2-strand probe had at 64
-                frac, maxm = 32, 16
-                while True:
-                    inner = get_classifier(frac, maxm)
-                    out, ovh, ovs = inner(codes, lengths,
-                                          with_rcounts=with_rcounts,
-                                          sc_mode=sc_mode, uniform_len=ul)
-                    if not (int(ovh) or int(ovs)):
-                        return out
-                    # capacity overflow: widen and retry (recompiles once
-                    # per capacity tier, then cached)
-                    if int(ovh):
-                        frac = max(frac // 2, 1)
-                    if int(ovs):
-                        maxm *= 2
-                    if frac < 1 or maxm > 4096:
-                        raise RuntimeError(
-                            f"sort-join capacity overflow persists "
-                            f"(hits={int(ovh)}, slots={int(ovs)})")
-
-            self._classify = wrapped
+            self._dm = to_device_merged(build_merged_index(index_u, index_d))
+            self._classifiers = {}
+            # fwd-only probe: N = B*O, so frac=32 gives the same absolute
+            # hit capacity the 2-strand probe had at 64
+            self._frac, self._maxm = 32, 16
         else:
-            self._classify = jax.jit(
+            self._gather_fn = jax.jit(
                 partial(
                     classify_batch,
                     self.didx_u,
@@ -162,19 +125,168 @@ class QuerySession:
                 static_argnames=("with_rcounts", "sc_mode"),
             )
 
-    def run(self, reads: ReadSet, sc_mode: bool = False,
-            timings: Timings | None = None, verbose: bool = False) -> QueryCounts:
+    # ---- per-engine classify returning DEVICE outputs (no syncs) ----
+
+    def _classify_raw(self, codes, lengths, with_rcounts, sc_mode):
+        """-> (BatchCounts on device, overflow_hits, overflow_slots)."""
+        import jax.numpy as jnp
+
+        if self.engine == "sortjoin-dist":
+            sess = self._dist_session(sc_mode)
+            return sess.classify_raw(codes, lengths,
+                                     with_rcounts=with_rcounts)
+        if self.engine == "sortjoin":
+            from .sortjoin import make_sortjoin_classifier
+
+            key = (self._frac, self._maxm)
+            if key not in self._classifiers:
+                self._classifiers[key] = make_sortjoin_classifier(
+                    self._dm, self.num_genome_slots,
+                    hit_capacity_frac=self._frac, maxm=self._maxm,
+                )
+            out, ovh, ovs = self._classifiers[key](
+                codes, lengths, with_rcounts=with_rcounts, sc_mode=sc_mode)
+            return out, ovh, ovs
+        out = self._gather_fn(codes, lengths, with_rcounts=with_rcounts,
+                              sc_mode=sc_mode)
+        z = jnp.zeros((), jnp.int32)
+        return out, z, z
+
+    def _dist_session(self, sc_mode: bool):
+        from ..parallel.dist_query import DistSortJoinSession
+
+        key = bool(sc_mode)
+        if key not in self._dist_sessions:
+            self._dist_sessions[key] = DistSortJoinSession(
+                self.mesh, self._index_u, self._index_d,
+                self.num_genome_slots, sc_mode=sc_mode,
+            )
+        return self._dist_sessions[key]
+
+    def _widen(self, ovh: int, ovs: int) -> None:
+        """Sticky capacity widening after an overflowed pass."""
+        if self.engine == "sortjoin-dist":
+            for sess in self._dist_sessions.values():
+                if ovh:
+                    sess._frac = max(sess._frac // 2, 1)
+                if ovs:
+                    sess._maxm *= 2
+                if sess._frac < 1 or sess._maxm > 4096:
+                    raise RuntimeError(
+                        f"sort-join capacity overflow persists across shards "
+                        f"(hits={ovh}, slots={ovs})")
+            return
+        if ovh:
+            self._frac = max(self._frac // 2, 1)
+        if ovs:
+            self._maxm *= 2
+        if self._frac < 1 or self._maxm > 4096:
+            raise RuntimeError(
+                f"sort-join capacity overflow persists "
+                f"(hits={ovh}, slots={ovs})")
+
+    def _acc_step(self):
+        """Jitted donated-buffer accumulator: acc <- acc + batch outputs.
+        The pair matrix (sc mode, small G) scatters on device too."""
+        if self._acc_step_fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            def step(acc, cu, cd, rcu, rcd, nu, nc, ovh, ovs, plo, phi):
+                pm = acc["pairmat"]
+                if pm.shape[0]:  # static: sc mode with small G
+                    Gp = pm.shape[0]
+                    ok = plo >= 0
+                    r = jnp.where(ok, plo, Gp - 1)
+                    c = jnp.where(ok, phi, Gp - 1)
+                    pm = pm.at[r, c].add(ok.astype(jnp.int32))
+                return dict(
+                    cnts_u=acc["cnts_u"] + cu.astype(jnp.int32),
+                    cnts_d=acc["cnts_d"] + cd.astype(jnp.int32),
+                    rcount_u=acc["rcount_u"] + rcu.astype(jnp.int32),
+                    rcount_d=acc["rcount_d"] + rcd.astype(jnp.int32),
+                    nundet=acc["nundet"] + nu.astype(jnp.int32),
+                    nconf=acc["nconf"] + nc.astype(jnp.int32),
+                    ovh=jnp.maximum(acc["ovh"], ovh.astype(jnp.int32)),
+                    ovs=jnp.maximum(acc["ovs"], ovs.astype(jnp.int32)),
+                    pairmat=pm,
+                )
+
+            self._acc_step_fn = jax.jit(step, donate_argnums=0)
+        return self._acc_step_fn
+
+    def _run_pass(self, reads: ReadSet, bs: int, sc_mode: bool):
+        """One full pass over the reads with device-side accumulation.
+        Returns (acc dict on host, pair_counts) or None on overflow."""
+        import jax
         import jax.numpy as jnp
 
         G = self.num_genome_slots
-        cnts_u = np.zeros(G, np.int64)
-        cnts_d = np.zeros(G, np.int64)
-        rcount_u = np.zeros(self.num_entries_u, np.int64)
-        rcount_d = np.zeros(self.num_entries_d, np.int64)
-        nundet = 0
-        nconf = 0
-        pair_counts: Dict[Tuple[int, int], int] = {}
+        use_pairmat = sc_mode and G + 1 <= PAIR_MATRIX_MAX_G
 
+        def _zeros():
+            return dict(
+                cnts_u=jnp.zeros(G, jnp.int32),
+                cnts_d=jnp.zeros(G, jnp.int32),
+                rcount_u=jnp.zeros(self.num_entries_u, jnp.int32),
+                rcount_d=jnp.zeros(self.num_entries_d, jnp.int32),
+                nundet=jnp.zeros((), jnp.int32),
+                nconf=jnp.zeros((), jnp.int32),
+                ovh=jnp.zeros((), jnp.int32),
+                ovs=jnp.zeros((), jnp.int32),
+                pairmat=jnp.zeros(
+                    (G + 1, G + 1) if use_pairmat else (0, 0), jnp.int32),
+            )
+
+        if self.mesh is not None:
+            # the accumulator must live replicated on the SAME mesh as the
+            # distributed classify outputs, or the add-jit would mix
+            # device sets
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            acc = jax.jit(
+                _zeros, out_shardings=NamedSharding(self.mesh, P())
+            )()
+        else:
+            acc = _zeros()
+        pair_counts: Dict[Tuple[int, int], int] = {}
+        step = self._acc_step()
+        for batch in reads.batches(bs):
+            out, ovh, ovs = self._classify_raw(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                with_rcounts=not sc_mode, sc_mode=sc_mode,
+            )
+            rcu = out.rcount_u[: self.num_entries_u]
+            rcd = out.rcount_d[: self.num_entries_d]
+            acc = step(acc, out.cnts_u, out.cnts_d, rcu, rcd,
+                       out.nundet, out.nconf,
+                       jnp.asarray(ovh), jnp.asarray(ovs),
+                       out.pair_lo, out.pair_hi)
+            if sc_mode and not use_pairmat:
+                # large-G fallback: host pair dict (syncs per batch)
+                lo = np.asarray(out.pair_lo)
+                hi = np.asarray(out.pair_hi)
+                sel = lo >= 0
+                if sel.any():
+                    pairs, counts = np.unique(
+                        np.stack([lo[sel], hi[sel]], axis=1), axis=0,
+                        return_counts=True,
+                    )
+                    for (a, b), c in zip(pairs, counts):
+                        key = (int(a), int(b))
+                        pair_counts[key] = pair_counts.get(key, 0) + int(c)
+        host = jax.device_get(acc)   # the ONE blocking transfer per pass
+        if int(host["ovh"]) or int(host["ovs"]):
+            self._widen(int(host["ovh"]), int(host["ovs"]))
+            return None
+        if use_pairmat:
+            pm = host["pairmat"][:G, :G]
+            for a, b in zip(*np.nonzero(pm)):
+                pair_counts[(int(a), int(b))] = int(pm[a, b])
+        return host, pair_counts
+
+    def run(self, reads: ReadSet, sc_mode: bool = False,
+            timings: Timings | None = None, verbose: bool = False) -> QueryCounts:
         # avoid gross padding: shrink the batch to the read count (rounded
         # to a power of two) and the width to the longest read (rounded to
         # a multiple of 16)
@@ -195,37 +307,18 @@ class QuerySession:
                     total_len=reads.total_len, name=reads.name,
                 )
         with stage_timer("query", timings, verbose):
-            for batch in reads.batches(bs):
-                out = self._classify(
-                    jnp.asarray(batch.codes),
-                    jnp.asarray(batch.lengths),
-                    with_rcounts=not sc_mode,
-                    sc_mode=sc_mode,
-                )
-                cnts_u += np.asarray(out.cnts_u, np.int64)
-                cnts_d += np.asarray(out.cnts_d, np.int64)
-                rcount_u += np.asarray(out.rcount_u, np.int64)[: self.num_entries_u]
-                rcount_d += np.asarray(out.rcount_d, np.int64)[: self.num_entries_d]
-                nundet += int(out.nundet)
-                nconf += int(out.nconf)
-                if sc_mode:
-                    lo = np.asarray(out.pair_lo)
-                    hi = np.asarray(out.pair_hi)
-                    sel = lo >= 0
-                    if sel.any():
-                        pairs, counts = np.unique(
-                            np.stack([lo[sel], hi[sel]], axis=1), axis=0,
-                            return_counts=True,
-                        )
-                        for (a, b), c in zip(pairs, counts):
-                            key = (int(a), int(b))
-                            pair_counts[key] = pair_counts.get(key, 0) + int(c)
-
+            while True:
+                got = self._run_pass(reads, bs, sc_mode)
+                if got is not None:
+                    break
+        host, pair_counts = got
         nr = reads.num_reads
         return QueryCounts(
-            cnts_u=cnts_u, cnts_d=cnts_d,
-            rcount_u=rcount_u, rcount_d=rcount_d,
-            nundet=nundet, nconf=nconf,
+            cnts_u=host["cnts_u"].astype(np.int64),
+            cnts_d=host["cnts_d"].astype(np.int64),
+            rcount_u=host["rcount_u"].astype(np.int64),
+            rcount_d=host["rcount_d"].astype(np.int64),
+            nundet=int(host["nundet"]), nconf=int(host["nconf"]),
             pair_counts=pair_counts,
             num_reads=nr,
             mean_read_len=(reads.total_len // nr) if nr else 0,

@@ -101,6 +101,12 @@ def _build_directory(pref_lo: np.ndarray, db: int | None = None):
 
 _HHI_BITS = 9  # secondary-hash width stored per bucket row
 
+# bucket scan strategy cutover: max_bucket <= this unrolls a masked
+# c-step sweep (fully fused); above it the scan segment-expands to one
+# work item per candidate entry, keeping program size and runtime
+# independent of max_bucket
+BUCKET_SCAN_UNROLL = 8
+
 
 def _hash_prefix(lo, hi, xp=np):
     """Mix a (lo, hi) 2x32-bit packed h-prefix into a 32-bit primary hash
@@ -614,23 +620,66 @@ def collect_matches_sortjoin(
     # scatter per bucket-scan step instead of NC where-chains — program
     # size stays constant in n_colors (a data-dependent quantity)
     found = jnp.full((K, NC + 1), -1, jnp.int32)
-    rows_k = jnp.arange(K)
-    for c in range(dm.max_bucket):
-        e = jnp.minimum(cstart + c, Emax - 1)
-        er = erec[e]                                  # [K, kw+1] row-gather
-        elen = (er[:, kw] & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        ecol = (er[:, kw] >> 16).astype(jnp.int32)
-        match = cvalid & (c < ccnt) & (elen <= avail)
+    overflow_work = jnp.zeros((), jnp.int32)
+
+    def _verify(match, pw, er, elen):
         for w in range(kw):
             nb = jnp.clip(elen - 16 * w, 0, 16)
             mask = jnp.where(
                 nb >= 16, jnp.uint32(0xFFFFFFFF),
                 (jnp.uint32(1) << (2 * nb.astype(jnp.uint32))) - jnp.uint32(1),
             )
-            match = match & ((pwords[:, w] & mask) == er[:, w])
-        # within a color, keys are distinct + prefix-free: at most one
-        # entry per color matches this candidate over the whole scan
-        found = found.at[rows_k, jnp.where(match, ecol, NC)].set(e)
+            match = match & ((pw[:, w] & mask) == er[:, w])
+        return match
+
+    if dm.max_bucket <= BUCKET_SCAN_UNROLL:
+        # small buckets: a masked c-step sweep, fused by XLA
+        rows_k = jnp.arange(K)
+        for c in range(dm.max_bucket):
+            e = jnp.minimum(cstart + c, Emax - 1)
+            er = erec[e]                              # [K, kw+1] row-gather
+            elen = (er[:, kw] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            ecol = (er[:, kw] >> 16).astype(jnp.int32)
+            match = _verify(cvalid & (c < ccnt) & (elen <= avail),
+                            pwords, er, elen)
+            # within a color, keys are distinct + prefix-free: at most one
+            # entry per color matches this candidate over the whole scan
+            found = found.at[rows_k, jnp.where(match, ecol, NC)].set(e)
+    else:
+        # ---- segment-expanded scan: one work item per candidate ENTRY,
+        # so cost ∝ Σ bucket sizes (the true candidate count) instead of
+        # K * max_bucket — and the traced program no longer scales with
+        # max_bucket (a data-dependent quantity that reaches hundreds on
+        # a production index; the reference trie walk is naturally
+        # per-entry, src/hashtrie.cpp:350-369)
+        KE = min(max(2 * K, 512), 4 * K)
+        coff = jnp.cumsum(ccnt) - ccnt                # exclusive offsets
+        total = coff[-1] + ccnt[-1]
+        overflow_work = jnp.maximum(total - KE, 0)
+        head = jnp.where((ccnt > 0) & (coff < KE), coff, KE)
+        wid = jnp.full(KE + 1, -1, jnp.int32).at[head].max(
+            jnp.arange(K, dtype=jnp.int32))[:KE]
+        wid = jax.lax.cummax(wid)                     # candidate per slot
+        widc = jnp.maximum(wid, 0)
+        pos = jnp.arange(KE, dtype=jnp.int32) - coff[widc]
+        work_ok = (wid >= 0) & (pos < ccnt[widc])
+        e = jnp.minimum(cstart[widc] + pos, Emax - 1)
+        er = erec[e]                                  # [KE, kw+1] row-gather
+        elen = (er[:, kw] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        ecol = (er[:, kw] >> 16).astype(jnp.int32)
+        match = _verify(
+            work_ok & cvalid[widc] & (elen <= avail[widc]),
+            pwords[widc], er, elen,
+        )
+        # non-matches dump into column NC of whatever row; at most one
+        # entry per (candidate, color) matches, so the scatter is
+        # conflict-free on real slots
+        found = found.at[jnp.where(match, widc, 0),
+                         jnp.where(match, ecol, NC)].set(e)
+
+    # a work-capacity overflow widens K (and with it KE) like a hit
+    # overflow: both mean candidates went unscanned
+    overflow_hits = overflow_hits + overflow_work
 
     # match payloads at candidate granularity: one [K*NC, 3] row-gather
     prec = dm.prec if dm.prec is not None else jnp.stack(

@@ -132,3 +132,31 @@ def test_dir_join_matches_sort_join():
     np.testing.assert_array_equal(np.asarray(a.rid1), np.asarray(b.rid1))
     np.testing.assert_array_equal(np.asarray(a.rid2), np.asarray(b.rid2))
     np.testing.assert_array_equal(np.asarray(a.in_u), np.asarray(b.in_u))
+
+
+@pytest.mark.parametrize("sc", [False, True])
+def test_expanded_bucket_scan_matches_baseline(setup, sc, monkeypatch):
+    """Force the segment-expanded bucket scan (the production path when
+    max_bucket exceeds the unroll cutover) and require exact equality."""
+    import jax
+    import jax.numpy as jnp
+
+    import cammiq_tpu.query.sortjoin as sj
+
+    monkeypatch.setattr(sj, "BUCKET_SCAN_UNROLL", 0)
+    art, rs, G, ref, ref_sc = setup
+    m = build_merged_index(art.unique_index, art.doubly_index)
+    dm = to_device_merged(m)
+    out, ovh, ovs = jax.jit(
+        lambda c, l: classify_batch_sortjoin(
+            dm, c, l, G, with_rcounts=not sc, sc_mode=sc)
+    )(jnp.asarray(rs.codes), jnp.asarray(rs.lengths))
+    assert int(ovh) == 0 and int(ovs) == 0
+    want = ref_sc if sc else ref
+    np.testing.assert_array_equal(np.asarray(out.cnts_u), want.cnts_u)
+    np.testing.assert_array_equal(np.asarray(out.cnts_d), want.cnts_d)
+    assert int(out.nundet) == want.nundet
+    assert int(out.nconf) == want.nconf
+    if not sc:
+        np.testing.assert_array_equal(np.asarray(out.rcount_u), ref.rcount_u)
+        np.testing.assert_array_equal(np.asarray(out.rcount_d), ref.rcount_d)
