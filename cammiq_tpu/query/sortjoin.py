@@ -167,6 +167,81 @@ def _revcomp_packed(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.nd
     return out
 
 
+def _adjacent_lcp(words_sorted: np.ndarray, lens_sorted: np.ndarray,
+                  kw: int) -> np.ndarray:
+    """alcp[i] = common-prefix length (in bases) of symbol-lex-sorted
+    keys i-1 and i; alcp[0] = -1 sentinel.  Pure packed-word bit math:
+    the first differing base is ctz(xor)/2 of the first differing word."""
+    E = words_sorted.shape[0]
+    alcp = np.full(E, -1, np.int64)
+    if E < 2:
+        return alcp
+    first_diff = np.full(E - 1, kw * 16, np.int64)
+    found = np.zeros(E - 1, bool)
+    with np.errstate(over="ignore"):
+        for w in range(kw):
+            x = words_sorted[1:, w] ^ words_sorted[:-1, w]
+            nz = (~found) & (x != 0)
+            if nz.any():
+                xv = x[nz]
+                low = (xv & (~xv + np.uint32(1))).astype(np.float64)
+                bit = np.frexp(low)[1] - 1        # ctz via exponent
+                first_diff[nz] = 16 * w + (bit >> 1)
+                found |= x != 0
+            if found.all():
+                break
+    alcp[1:] = np.minimum(
+        first_diff, np.minimum(lens_sorted[1:], lens_sorted[:-1])
+    )
+    return alcp
+
+
+def _chain_colors_sorted(lens_sorted: np.ndarray,
+                         alcp: np.ndarray) -> np.ndarray:
+    """Chain colors over keys ALREADY in symbol-lex order (length as the
+    tiebreak): color[i] = #{j < i : len_j <= min(alcp[j+1..i])}, i.e. the
+    number of earlier keys that are prefixes of key i — proper prefixes
+    plus earlier exact duplicates, which IS (prefix depth + duplicate
+    rank).  In this order the extensions of key j form one contiguous
+    interval (j, end_j], where end_j is the last position before alcp
+    drops below len_j; colors are interval-open counts, computed with one
+    suffix-min and one bincount per DISTINCT length (O(D*E), exact)."""
+    E = lens_sorted.shape[0]
+    if E == 0:
+        return np.zeros(0, np.int32)
+    idx = np.arange(E, dtype=np.int64)
+    starts_all = []
+    ends_all = []
+    for t in np.unique(lens_sorted):
+        # nxt[p] = first position >= p with alcp < t (suffix-min trick)
+        cand = np.where(alcp < t, idx, E)
+        nxt = np.minimum.accumulate(cand[::-1])[::-1]
+        js = np.nonzero(lens_sorted == t)[0]
+        starts = js + 1
+        inb = starts < E
+        ends = np.full(js.shape[0], E, np.int64)
+        ends[inb] = nxt[starts[inb]]
+        ok = starts < ends
+        starts_all.append(starts[ok])
+        ends_all.append(ends[ok])
+    delta = (
+        np.bincount(np.concatenate(starts_all), minlength=E + 1)[:E]
+        - np.bincount(np.concatenate(ends_all), minlength=E + 1)[:E]
+    )
+    return np.cumsum(delta).astype(np.int32)
+
+
+def _symlex_order(key_words: np.ndarray, length: np.ndarray, kw: int,
+                  *extra_keys: np.ndarray) -> np.ndarray:
+    """Stable symbol-lexicographic sort order (zero padding = base A) with
+    (length, *extra_keys) as tiebreaks."""
+    rw = rev2bit_u32(key_words)
+    keys = tuple(reversed(extra_keys)) + (length,) + tuple(
+        rw[:, c] for c in range(kw - 1, -1, -1)
+    )
+    return np.lexsort(keys)
+
+
 def _chain_colors(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.ndarray:
     """Color keys so that within one color class keys are DISTINCT and
     PREFIX-FREE (then at most one entry per color can match a given read
@@ -174,44 +249,15 @@ def _chain_colors(key_words: np.ndarray, length: np.ndarray, kw: int) -> np.ndar
     multiplicity) + (rank among exact duplicates).  If k1 is a proper
     prefix of k2, every prefix of k1 (and k1 itself, all its copies) is a
     prefix of k2, so color(k2) > color(any k1 copy); exact duplicates get
-    distinct ranks.  Prefix tests use 64-bit hashes - a collision only
-    inflates a color (extra found-slot), never merges two related keys."""
-    E = key_words.shape[0]
-    P = np.uint64(0x9E3779B97F4A7C15)
-
-    def prefix_hash(rows: np.ndarray, l: int) -> np.ndarray:
-        acc = np.full(rows.shape[0], np.uint64(l * 2654435761 + 1))
-        with np.errstate(over="ignore"):
-            for w in range(kw):
-                nb = min(max(l - 16 * w, 0), 16)
-                if nb == 0:
-                    break
-                mask = np.uint32(0xFFFFFFFF) if nb >= 16 else np.uint32((1 << (2 * nb)) - 1)
-                acc = acc * P + (rows[:, w] & mask).astype(np.uint64)
-        return acc
-
-    depth = np.zeros(E, np.int64)
-    for l in np.unique(length):
-        at_l = np.nonzero(length == l)[0]
-        longer = np.nonzero(length > l)[0]
-        if longer.size == 0:
-            continue
-        hl = np.sort(prefix_hash(key_words[at_l], int(l)))
-        hp = prefix_hash(key_words[longer], int(l))
-        depth[longer] += (
-            np.searchsorted(hl, hp, "right") - np.searchsorted(hl, hp, "left")
-        )
-    # exact-duplicate rank (same words AND same length)
-    full = np.concatenate([key_words, length[:, None].astype(np.uint32)], axis=1)
-    order = np.lexsort(tuple(full[:, c] for c in range(full.shape[1] - 1, -1, -1)))
-    fs = full[order]
-    first = np.ones(E, bool)
-    first[1:] = (fs[1:] != fs[:-1]).any(axis=1)
-    grp_start = np.maximum.accumulate(np.where(first, np.arange(E), 0))
-    rank_sorted = np.arange(E) - grp_start
-    rank = np.zeros(E, np.int64)
-    rank[order] = rank_sorted
-    return (depth + rank).astype(np.int32)
+    distinct ranks.  One symbol-lex sort + exact adjacent-LCP intervals
+    (no hashing; see _chain_colors_sorted)."""
+    order = _symlex_order(key_words, length, kw)
+    ws = key_words[order]
+    ls = np.asarray(length, np.int64)[order]
+    cs = _chain_colors_sorted(ls, _adjacent_lcp(ws, ls, kw))
+    color = np.empty(ws.shape[0], np.int32)
+    color[order] = cs
+    return color
 
 
 def build_merged_index(index_u: FlatIndex, index_d: Optional[FlatIndex]) -> MergedIndex:
