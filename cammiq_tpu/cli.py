@@ -39,6 +39,7 @@ def parse_args(argv: List[str]) -> dict:
         "ilp_alpha": -1.0, "max_cov": -1.0,
         "u_thres": -1.0, "d_thres": -1.0,
         "engine": "auto", "profile": "", "model_shards": 1,
+        "ilp_time_limit": 10800.0, "ilp_enum_cap": 8,
     }
     i = 0
     while i < len(argv):
@@ -82,6 +83,12 @@ def parse_args(argv: List[str]) -> dict:
         elif v == "--max_depth":
             i += 1
             a["max_cov"] = float(argv[i])
+        elif v == "--ilp_time_limit":
+            i += 1
+            a["ilp_time_limit"] = float(argv[i])
+        elif v == "--ilp_enum_cap":
+            i += 1
+            a["ilp_enum_cap"] = int(argv[i])
         elif v == "--unique_read_cnt_thres":
             i += 1
             a["u_thres"] = float(argv[i])
@@ -285,7 +292,11 @@ def run_query(a: dict) -> None:
                     gl, counts.mean_read_len, counts.num_reads,
                     a["erate"], fine,
                 )
-                exist, cov, info = solve_quant(prob, verbose=a["debug"])
+                exist, cov, info = solve_quant(
+                    prob, verbose=a["debug"],
+                    time_limit=a["ilp_time_limit"],
+                    enum_cap=a["ilp_enum_cap"],
+                )
                 print(f"{int(prob.exist0.sum())} genomes may exist in query "
                       f"{name}.", file=sys.stderr)
                 print(f"Time for quantification: "

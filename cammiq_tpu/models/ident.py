@@ -28,8 +28,17 @@ def solve_ident(
     cnts_d: np.ndarray,
     pair_counts: Dict[Tuple[int, int], int],
     fine: IdentFineParams,
+    max_nodes: int = 500_000,
+    time_limit: float = 3600.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (exist bool [n], redistributed cnts_u int64 [n])."""
+    """Returns (exist bool [n], redistributed cnts_u int64 [n]).
+
+    The vertex-cover branch-and-bound is bounded by `max_nodes` expanded
+    nodes and `time_limit` seconds (the reference caps its CPLEX solve at
+    3600 s, src/query.cpp:1377); when a bound is hit the incumbent is
+    completed with the classic maximal-matching 2-approximation (both
+    selectable endpoints of each uncovered edge) and a warning is logged -
+    the result is then a feasible cover within 2x of optimal."""
     n = cnts_u.shape[0]
     t1, t2 = fine.unique_read_cnt_thres, fine.doubly_unique_read_cnt_thres
 
@@ -74,8 +83,36 @@ def solve_ident(
         # reference: CPLEX reports infeasible, no output written
         raise RuntimeError("identification ILP infeasible")
 
+    def greedy_cover(edges_left: List[Tuple[int, int]], chosen: Set[int]) -> Set[int]:
+        """Maximal-matching 2-approximation completing `chosen`; edges with
+        one selectable endpoint take that endpoint (the exact move)."""
+        chosen = set(chosen)
+        for a, b in edges_left:
+            if a in chosen or b in chosen or state[a] == 1 or state[b] == 1:
+                continue
+            cands = [v for v in (a, b) if state[v] == 2]
+            chosen.update(cands)
+        return chosen
+
+    import time as _time
+
+    t0 = _time.perf_counter()
+    nodes = 0
+    capped = False
+
     def bnb(edges_left: List[Tuple[int, int]], chosen: Set[int]):
-        nonlocal best
+        nonlocal best, nodes, capped
+        if capped:
+            return
+        nodes += 1
+        if nodes > max_nodes or (
+            nodes % 4096 == 0 and _time.perf_counter() - t0 > time_limit
+        ):
+            capped = True
+            g = greedy_cover(edges_left, chosen)
+            if best is None or len(g) < len(best):
+                best = g
+            return
         if best is not None and len(chosen) >= len(best):
             return
         edges_left = [e for e in edges_left if e[0] not in chosen and e[1] not in chosen]
@@ -88,7 +125,22 @@ def solve_ident(
         for v in cands:
             bnb(edges_left, chosen | {v})
 
-    bnb(checked, set())
+    if len(undet) > 900:
+        # recursion depth is bounded by the cover size; stay clear of the
+        # interpreter stack limit on pathological pair graphs
+        capped = True
+        best = greedy_cover(checked, set())
+    else:
+        bnb(checked, set())
+    if capped:
+        import sys
+
+        print(
+            f"[ident] branch-and-bound budget hit ({nodes} nodes, "
+            f"{_time.perf_counter() - t0:.1f} s); completed with the "
+            f"2-approx greedy cover (size {len(best or set())})",
+            file=sys.stderr,
+        )
     cover = best or set()
 
     exist = state == 1

@@ -202,7 +202,7 @@ def build_problem(
 
 def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
                 penalty: float = 1.0, tol: float = 1e-7,
-                time_limit: float = 600.0, enum_cap: int = 8,
+                time_limit: float = 10800.0, enum_cap: int = 8,
                 enum_iters: int = 400,
                 verbose: bool = False) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Solve the reference MIQP (src/query.cpp:1082-1298) TPU-natively.
@@ -211,13 +211,21 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
     1. relaxed box-QP (the (0, 0.01) EXIST hole removed) by FISTA projected
        gradient + augmented Lagrangian for the coupled TOTAL / EXP2
        constraints; runs in convergence-checked chunks with a time limit
-       (the reference gives CPLEX a 10800 s TiLim, src/query.cpp:1260);
-    2. exact branch over the EXIST booleans: candidates whose lower bound
-       does not already force EXIST=1 are enumerated (up to 2**enum_cap
-       subsets) and ALL subset QPs are re-solved in one vmapped batch -
-       the TPU-parallel replacement for CPLEX branch-and-bound; infeasible
-       subsets are rejected by an exact-penalty score;
-    3. a final polish solve at the winning bounds.
+       (default matches the reference's 10800 s CPLEX TiLim,
+       src/query.cpp:1260; CLI: --ilp_time_limit);
+    2. branch over the EXIST booleans: candidates whose lower bound does
+       not already force EXIST=1 are enumerated in vmapped batches of
+       2**enum_cap subset QPs - the TPU-parallel replacement for CPLEX
+       branch-and-bound.  With more than enum_cap free candidates the
+       enumeration window is re-centered on the most ambiguous undecided
+       candidates and repeated until the in/out decisions are stable and
+       every candidate has been enumerated at least once (monotone
+       block-coordinate descent over subsets: the incumbent assignment is
+       one of the 2**m subsets of every window, so the best score never
+       regresses).  Infeasible subsets are rejected by an exact-penalty
+       score;
+    3. a final polish solve at the winning bounds (top candidates of each
+       round are polished to convergence before scoring).
 
     Returns (exist, cov, info).
     """
@@ -393,39 +401,35 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
     x, lam_c2, chunks_used = run_to_convergence(x, lam_c2, lb, ub, outer)
     xh = np.asarray(x)
 
-    # ---- stage 2: exact branch over the (0, 0.01) EXIST hole ----
+    # ---- stage 2: branch over the (0, 0.01) EXIST hole ----
     # candidates forced by a positive lower bound (the EXP1 constraint,
     # src/query.cpp:1203-1206) are always selected; the rest are binary.
     forced = prob.exist0 & (prob.lb > 0)
     free = prob.exist0 & ~forced
     free_idx = np.nonzero(free)[0]
-    # enumerate the enum_cap genomes closest to the rounding boundary;
-    # any excess (clearly in / clearly out) is decided by threshold
-    if len(free_idx) > enum_cap:
-        amb_order = np.argsort(np.abs(xh[free_idx] - 0.005))
-        enum_idx = free_idx[amb_order[:enum_cap]]
-        thr_idx = free_idx[amb_order[enum_cap:]]
-    else:
-        enum_idx = free_idx
-        thr_idx = np.zeros(0, np.int64)
-    base_lb = np.where(forced, np.maximum(prob.lb, 0.01), 0.0)
-    base_ub = np.where(forced, prob.ub, 0.0)
-    thr_sel = thr_idx[xh[thr_idx] >= 0.005]
-    base_lb[thr_sel] = 0.01
-    base_ub[thr_sel] = prob.ub[thr_sel]
-
-    m = len(enum_idx)
+    n_free = len(free_idx)
+    m = min(n_free, enum_cap)
     S = 1 << m
     masks = (np.arange(S)[:, None] >> np.arange(m)[None, :]) & 1  # [S, m]
-    lb_s = np.broadcast_to(base_lb, (S, n)).copy()
-    ub_s = np.broadcast_to(base_ub, (S, n)).copy()
-    if m:
-        sel = masks.astype(bool)
-        rows = np.repeat(np.arange(S), m).reshape(S, m)
-        lb_s[rows[sel], np.broadcast_to(enum_idx, (S, m))[sel]] = 0.01
-        ub_s[rows[sel], np.broadcast_to(enum_idx, (S, m))[sel]] = np.broadcast_to(
-            prob.ub[enum_idx], (S, m)
-        )[sel]
+    sel = masks.astype(bool)
+    rows = np.repeat(np.arange(S), max(m, 1)).reshape(S, max(m, 1))
+
+    def subset_bounds(enum_idx: np.ndarray, decisions: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """[S, n] bound arrays: forced genomes in, non-window free genomes
+        fixed per `decisions`, window genomes swept over all 2**m subsets."""
+        base_lb = np.where(forced, np.maximum(prob.lb, 0.01), 0.0)
+        base_ub = np.where(forced, prob.ub, 0.0)
+        fixed_sel = free_idx[decisions & ~np.isin(free_idx, enum_idx)]
+        base_lb[fixed_sel] = 0.01
+        base_ub[fixed_sel] = prob.ub[fixed_sel]
+        lb_s = np.broadcast_to(base_lb, (S, n)).copy()
+        ub_s = np.broadcast_to(base_ub, (S, n)).copy()
+        if m:
+            lb_s[rows[sel], np.broadcast_to(enum_idx, (S, m))[sel]] = 0.01
+            ub_s[rows[sel], np.broadcast_to(enum_idx, (S, m))[sel]] = np.broadcast_to(
+                prob.ub[enum_idx], (S, m)
+            )[sel]
+        return lb_s, ub_s
 
     def penalty_score(xs, knee):
         """objective + exact penalty on relative constraint violation
@@ -457,28 +461,66 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
 
         return jax.vmap(one)(lbv, ubv)
 
-    scores, xs_all = solve_subsets(jnp.asarray(lb_s), jnp.asarray(ub_s), x, lam_c2)
-    scores = np.asarray(scores)
+    # iterated windowed enumeration: exact when n_free <= enum_cap (single
+    # round sweeps every subset); otherwise block-coordinate subset descent
+    # re-centered on the most ambiguous candidates until stable and every
+    # candidate enumerated at least once
+    decisions = xh[free_idx] >= 0.005 if n_free else np.zeros(0, bool)
+    seen = np.zeros(n_free, bool)
+    max_rounds = 1 if n_free <= enum_cap else 2 * -(-n_free // max(m, 1)) + 2
+    if verbose and n_free > enum_cap:
+        import sys
 
-    # ---- stage 3: polish the top candidates to convergence, rescore with
-    # the tight feasibility knee, keep the best ----
-    top_k = min(S, 4)
-    cand = np.argsort(scores)[:top_k]
-    best_score = np.inf
-    best = int(cand[0])
-    best_x = None
-    for s in cand:
-        lbj, ubj = jnp.asarray(lb_s[s]), jnp.asarray(ub_s[s])
-        xb = jnp.clip(xs_all[int(s)], lbj, ubj)
-        xb, lc_f, _ = run_to_convergence(
-            xb, lam_c2, lbj, ubj, max(outer // 2, 1)
+        print(
+            f"[quant] {n_free} free candidates exceed enum_cap={enum_cap}; "
+            f"iterating enumeration windows (<= {max_rounds} rounds)",
+            file=sys.stderr,
         )
-        sc = float(penalty_score(xb, 1e-6))
-        if sc < best_score:
-            best_score, best, best_x = sc, int(s), xb
-    xh = np.asarray(best_x)
 
-    exist = ub_s[best] > 0
+    best_x = x
+    best_ub_full = np.where(forced, prob.ub, 0.0)
+    rounds_used = 0
+    for _round in range(max_rounds):
+        rounds_used += 1
+        # window: undecided-yet-unseen candidates first, then most ambiguous
+        amb = np.abs(xh[free_idx] - 0.005)
+        win = np.lexsort((amb, seen))[:m]
+        enum_idx = free_idx[win]
+        lb_s, ub_s = subset_bounds(enum_idx, decisions)
+
+        scores, xs_all = solve_subsets(
+            jnp.asarray(lb_s), jnp.asarray(ub_s), x, lam_c2
+        )
+        scores = np.asarray(scores)
+
+        # ---- stage 3: polish the top candidates to convergence, rescore
+        # with the tight feasibility knee, keep the best ----
+        top_k = min(S, 4)
+        cand = np.argsort(scores)[:top_k]
+        best_score = np.inf
+        best = int(cand[0])
+        for s in cand:
+            lbj, ubj = jnp.asarray(lb_s[s]), jnp.asarray(ub_s[s])
+            xb = jnp.clip(xs_all[int(s)], lbj, ubj)
+            xb, _lc_f, _ = run_to_convergence(
+                xb, lam_c2, lbj, ubj, max(outer // 2, 1)
+            )
+            sc = float(penalty_score(xb, 1e-6))
+            if sc < best_score:
+                best_score, best, best_x = sc, int(s), xb
+        xh = np.asarray(best_x)
+        best_ub_full = ub_s[best]
+
+        new_dec = ((best >> np.arange(m)) & 1).astype(bool) if m else np.zeros(0, bool)
+        changed = bool((decisions[win] != new_dec).any())
+        decisions[win] = new_dec
+        seen[win] = True
+        if (not changed and seen.all()) or (
+            time.perf_counter() - t0 > time_limit
+        ):
+            break
+
+    exist = best_ub_full > 0
     cov = np.where(exist, np.clip(xh, 0.01, None), 0.0)
     cov = np.minimum(cov, prob.ub)
 
@@ -488,7 +530,9 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
         "objective": obj,
         "lipschitz": L,
         "num_candidates": int(prob.exist0.sum()),
+        "free_candidates": n_free,
         "enum_size": S,
+        "enum_rounds": rounds_used,
         "chunks_used": chunks_used,
     }
     if verbose:
@@ -498,12 +542,13 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
 
         print(
             f"[quant] candidates={info['num_candidates']} forced="
-            f"{int(forced.sum())} enum_subsets={S} relax_chunks="
-            f"{chunks_used}x{chunk_iters} L={L:.4g} C2_rows={C2}",
+            f"{int(forced.sum())} free={n_free} enum_subsets={S}x"
+            f"{rounds_used} relax_chunks={chunks_used}x{chunk_iters} "
+            f"L={L:.4g} C2_rows={C2}",
             file=sys.stderr,
         )
         print(
-            f"[quant] winner subset mask={best} objective={obj:.6g} "
+            f"[quant] winner objective={obj:.6g} "
             f"selected={np.nonzero(exist)[0].tolist()} "
             f"time={info['solve_time']*1e3:.0f} ms",
             file=sys.stderr,
