@@ -39,7 +39,7 @@ def parse_args(argv: List[str]) -> dict:
         "ilp_alpha": -1.0, "max_cov": -1.0,
         "u_thres": -1.0, "d_thres": -1.0,
         "engine": "auto", "profile": "", "model_shards": 1,
-        "ilp_time_limit": 10800.0, "ilp_enum_cap": 8,
+        "ilp_time_limit": 10800.0, "ilp_enum_cap": 8, "merged": "",
     }
     i = 0
     while i < len(argv):
@@ -83,6 +83,9 @@ def parse_args(argv: List[str]) -> dict:
         elif v == "--max_depth":
             i += 1
             a["max_cov"] = float(argv[i])
+        elif v == "--merged":
+            i += 1
+            a["merged"] = argv[i]
         elif v == "--ilp_time_limit":
             i += 1
             a["ilp_time_limit"] = float(argv[i])
@@ -201,6 +204,21 @@ def run_build(a: dict) -> None:
         save_flat_index(a["fi_d"] or os.path.join(outdir, "index_d.npz"),
                         art.doubly_index)
     write_meta_outputs(art, outdir)
+    if a["merged"]:
+        # persist the query-ready merged index too (--merged DIR): query
+        # sessions then start with a lazy memmap load instead of host
+        # lexsorts over the full tables
+        if art.unique_index is None:
+            _err("--merged requires a unique index (--unique or --both).")
+        from .index.artifact import save_merged_artifact
+        from .query.sortjoin import build_merged_index
+
+        m = build_merged_index(art.unique_index, art.doubly_index)
+        save_merged_artifact(m, art.unique_index, art.doubly_index,
+                             a["merged"])
+        write_meta_outputs(art, a["merged"])
+        print(f"Merged query artifact written to {a['merged']}.",
+              file=sys.stderr)
 
 
 def run_query(a: dict) -> None:
@@ -214,11 +232,21 @@ def run_query(a: dict) -> None:
 
     if not a["fi_u"]:
         _err("Please specify index files (-i).")
-    index_u = load_flat_index(a["fi_u"])
-    index_d = load_flat_index(a["fi_d"]) if a["fi_d"] and os.path.exists(a["fi_d"]) else None
+    from .index.artifact import is_merged_artifact, load_merged_artifact
+
+    artifact = None
+    if is_merged_artifact(a["fi_u"]):
+        # -i MERGED_DIR: precomputed merged-index artifact - lazy memmap
+        # load, no session-time lexsorts (index/artifact.py)
+        artifact = load_merged_artifact(a["fi_u"])
+        index_u, index_d = artifact.payloads()
+    else:
+        index_u = load_flat_index(a["fi_u"])
+        index_d = load_flat_index(a["fi_d"]) if a["fi_d"] and os.path.exists(a["fi_d"]) else None
 
     table = load_smap(a["fm_name"])
-    idx_dir = os.path.dirname(a["fi_u"]) or "."
+    idx_dir = (a["fi_u"] if artifact is not None
+               else os.path.dirname(a["fi_u"]) or ".")
     need_meta = a["id_mode"] == 0
     if need_meta:
         load_genome_lengths(table, idx_dir, require_doubly=index_d is not None)
@@ -262,7 +290,11 @@ def run_query(a: dict) -> None:
         else:
             print(f"-t {a['t']} requested but only {nd} device(s) present; "
                   f"running single-device.", file=sys.stderr)
-    sess = QuerySession(index_u, index_d, G, qcfg, engine=engine, mesh=mesh)
+    if artifact is not None:
+        sess = QuerySession.from_artifact(artifact, G, qcfg, mesh=mesh)
+    else:
+        sess = QuerySession(index_u, index_d, G, qcfg, engine=engine,
+                            mesh=mesh)
 
     files = a["fq_names"] or (list_fastq_dir(a["fq_dir"]) if a["fq_dir"] else [])
     if not files:

@@ -197,67 +197,126 @@ def _shard_arrays(s: ShardedIndex) -> dict:
     }
 
 
-def shard_merged_index(m, mp: int):
-    """Split a MergedIndex into mp bucket-aligned equal-shape shards
-    (stacked leading axis).  Padded bucket rows carry bucket_count=0 and
-    sort after real rows within a hash-tied run (row ids are part of the
-    join sort key), so they can never shadow a real bucket; padded
-    entries use a never-matching length."""
-    from ..query.sortjoin import MergedIndex
+@dataclasses.dataclass
+class _MergedSource:
+    """Uniform fused-record view over a MergedIndex (host arrays) or a
+    MergedArtifact (memmaps): the shard builder slices these lazily, so a
+    process only ever materializes ITS shards' pages."""
 
-    NB = m.pref_lo.shape[0]
-    E = m.length.shape[0]
+    h: int
+    kw: int
+    eu: int
+    ed: int
+    max_bucket: int
+    n_colors: int
+    E: int
+    NB: int
+    erec: np.ndarray       # uint32 [E, kw+1]
+    prec: np.ndarray       # int32 [E, 3]
+    pref_lo: np.ndarray    # uint32 [NB]
+    pref_hi: np.ndarray    # uint32 [NB]
+    bucket_start: np.ndarray
+    bucket_count: np.ndarray
+
+    @classmethod
+    def from_merged(cls, m) -> "_MergedSource":
+        from ..query.sortjoin import _fused_records
+
+        erec, brec, prec = _fused_records(
+            m.key_words, m.length, m.color, m.bucket_start, m.bucket_count,
+            m.gid, m.rid1, m.rid2, np,
+        )
+        return cls(h=m.h, kw=m.kw, eu=m.eu, ed=m.ed,
+                   max_bucket=m.max_bucket, n_colors=m.n_colors,
+                   E=int(m.length.shape[0]), NB=int(m.pref_lo.shape[0]),
+                   erec=erec, prec=prec,
+                   pref_lo=m.pref_lo, pref_hi=m.pref_hi,
+                   bucket_start=m.bucket_start, bucket_count=m.bucket_count)
+
+    @classmethod
+    def from_artifact(cls, a) -> "_MergedSource":
+        return cls(h=a.h, kw=a.kw, eu=a.eu, ed=a.ed,
+                   max_bucket=a.max_bucket, n_colors=a.n_colors,
+                   E=a.E, NB=a.NB,
+                   erec=a.erec, prec=a.prec,
+                   pref_lo=a.pref_lo, pref_hi=a.pref_hi,
+                   bucket_start=a.brec[:, 0], bucket_count=a.brec[:, 1])
+
+
+def shard_merged_cuts(src: _MergedSource, mp: int):
+    """Bucket-aligned equal-entry shard cuts.  Returns (cuts_b, e_lo, e_hi,
+    e_pad, nb_pad, db).  Padded bucket rows carry bucket_count=0 and sort
+    after real rows within a hash-tied run (row ids are part of the join
+    sort key), so they can never shadow a real bucket; padded entries use
+    the never-matching erec length."""
+    from ..query.sortjoin import _HHI_BITS  # noqa: F401  (doc anchor)
+
+    NB, E = src.NB, src.E
     cuts_b = [NB * i // mp for i in range(mp + 1)]
     # snap cuts forward so bucket rows sharing one entry span (hash
     # collisions merged by hlo) never split across shards
     for i in range(1, mp):
         c = cuts_b[i]
-        while 0 < c < NB and m.bucket_start[c] == m.bucket_start[c - 1]:
+        while 0 < c < NB and src.bucket_start[c] == src.bucket_start[c - 1]:
             c += 1
         cuts_b[i] = min(max(c, cuts_b[i - 1]), NB)
     nb_pad = max(1, max(cuts_b[i + 1] - cuts_b[i] for i in range(mp)))
-    # entry ranges follow bucket ranges
-    e_lo = [int(m.bucket_start[cuts_b[i]]) if cuts_b[i] < NB else E for i in range(mp)]
+    e_lo = [int(src.bucket_start[cuts_b[i]]) if cuts_b[i] < NB else E
+            for i in range(mp)]
     e_hi = e_lo[1:] + [E]
     e_pad = max(1, max(h - l for l, h in zip(e_lo, e_hi)))
-
-    from ..query.sortjoin import _build_directory
-
     db = max(8, min(20, max(int(nb_pad).bit_length() - 5, 8)))
-    out = dict(
-        key_words=np.zeros((mp, e_pad, m.kw), np.uint32),
-        length=np.full((mp, e_pad), 1 << 30, np.int32),
-        rid1=np.zeros((mp, e_pad), np.int32),
-        rid2=np.zeros((mp, e_pad), np.int32),
-        gid=np.zeros((mp, e_pad), np.int32),
-        color=np.zeros((mp, e_pad), np.int32),
-        pref_lo=np.full((mp, nb_pad), 0xFFFFFFFF, np.uint32),
-        pref_hi=np.full((mp, nb_pad), 0xFFFFFFFF, np.uint32),
-        bucket_start=np.zeros((mp, nb_pad), np.int32),
-        bucket_count=np.zeros((mp, nb_pad), np.int32),
-        dir_start=np.zeros((mp, (1 << db) + 1), np.int32),
+    return cuts_b, e_lo, e_hi, e_pad, nb_pad, db
+
+
+def build_fused_shard(src: _MergedSource, i: int, cuts_b, e_lo, e_hi,
+                      e_pad: int, nb_pad: int, db: int):
+    """Materialize shard i's padded fused-record arrays (one host slice
+    per array - with a memmap source this faults in only shard i's pages).
+    Returns (dict of arrays, dir span steps)."""
+    from ..query.sortjoin import NEVER_LEN, _build_directory
+
+    kw1 = src.erec.shape[1]
+    erec = np.zeros((e_pad, kw1), np.uint32)
+    erec[:, kw1 - 1] = np.uint32(NEVER_LEN)
+    prec = np.zeros((e_pad, 3), np.int32)
+    pref_lo = np.full(nb_pad, 0xFFFFFFFF, np.uint32)
+    pref_hi = np.full(nb_pad, 0xFFFFFFFF, np.uint32)
+    brec = np.zeros((nb_pad, 2), np.int32)
+    blo, bhi = cuts_b[i], cuts_b[i + 1]
+    lo, hi = e_lo[i], e_hi[i]
+    ec, bc = hi - lo, bhi - blo
+    if ec:
+        erec[:ec] = src.erec[lo:hi]
+        prec[:ec] = src.prec[lo:hi]
+    if bc:
+        pref_lo[:bc] = src.pref_lo[blo:bhi]
+        pref_hi[:bc] = src.pref_hi[blo:bhi]
+        brec[:bc, 0] = np.asarray(src.bucket_start[blo:bhi], np.int64) - lo
+        brec[:bc, 1] = src.bucket_count[blo:bhi]
+    ds, _, steps = _build_directory(pref_lo, db=db)
+    return (
+        dict(erec=erec, prec=prec, pref_lo=pref_lo, pref_hi=pref_hi,
+             brec=brec, dir_start=ds.astype(np.int32)),
+        steps,
     )
-    span_steps = 1
-    for i in range(mp):
-        blo, bhi = cuts_b[i], cuts_b[i + 1]
-        lo, hi = e_lo[i], e_hi[i]
-        ec, bc = hi - lo, bhi - blo
-        if ec:
-            out["key_words"][i, :ec] = m.key_words[lo:hi]
-            out["length"][i, :ec] = m.length[lo:hi]
-            out["rid1"][i, :ec] = m.rid1[lo:hi]
-            out["rid2"][i, :ec] = m.rid2[lo:hi]
-            out["gid"][i, :ec] = m.gid[lo:hi]
-            out["color"][i, :ec] = m.color[lo:hi]
-        if bc:
-            out["pref_lo"][i, :bc] = m.pref_lo[blo:bhi]
-            out["pref_hi"][i, :bc] = m.pref_hi[blo:bhi]
-            out["bucket_start"][i, :bc] = m.bucket_start[blo:bhi] - lo
-            out["bucket_count"][i, :bc] = m.bucket_count[blo:bhi]
-        ds, _, st = _build_directory(out["pref_lo"][i], db=db)
-        out["dir_start"][i] = ds
-        span_steps = max(span_steps, st)
-    return out, e_pad, nb_pad, db, span_steps
+
+
+def _shard_dir_steps(pl_slice: np.ndarray, nb_pad: int, db: int) -> int:
+    """Binary-search rounds a shard's directory needs - the padded-row
+    variant of _build_directory's steps, computed WITHOUT materializing the
+    padded arrays (pads are 0xFFFFFFFF and land in the last cell)."""
+    pl = np.asarray(pl_slice, np.uint64)
+    tops = (np.arange((1 << db) + 1, dtype=np.uint64) << np.uint64(32 - db))
+    tops = np.minimum(tops, np.uint64(0xFFFFFFFF) + np.uint64(1))
+    ds = np.searchsorted(pl, tops, side="left")
+    spans = np.diff(ds).astype(np.int64)
+    if spans.size:
+        spans[-1] += nb_pad - pl.shape[0]
+        max_span = int(spans.max())
+    else:
+        max_span = nb_pad
+    return max(int(max_span).bit_length() + 1, 1)
 
 
 class DistSortJoinSession:
@@ -273,13 +332,21 @@ class DistSortJoinSession:
     def __init__(
         self,
         mesh,
-        index_u: FlatIndex,
-        index_d: Optional[FlatIndex],
-        num_genome_slots: int,
+        index_u: Optional[FlatIndex] = None,
+        index_d: Optional[FlatIndex] = None,
+        num_genome_slots: int = 0,
         sc_mode: bool = False,
         maxm: int = 32,
         hit_capacity_frac: int = 32,
+        merged=None,
+        verbose: bool = False,
     ):
+        """merged: optional precomputed source - a MergedIndex, or a
+        MergedArtifact (index/artifact.py), in which case each process
+        lazily faults in ONLY its model shards' pages from the memmapped
+        artifact (no full-index host copies, no per-process lexsorts)."""
+        import sys
+
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -291,28 +358,65 @@ class DistSortJoinSession:
         dp = mesh.shape["data"]
         self.mp, self.dp = mp, dp
         self.sc = sc_mode
-        m = build_merged_index(index_u, index_d)
-        self.eu, self.ed = m.eu, m.ed
-        shards, e_pad, nb_pad, db, span_steps = shard_merged_index(m, mp)
-        self._meta = (m.h, m.kw, m.max_bucket, m.n_colors, db, span_steps)
+        if merged is None:
+            src = _MergedSource.from_merged(build_merged_index(index_u, index_d))
+        elif hasattr(merged, "path"):          # MergedArtifact
+            src = _MergedSource.from_artifact(merged)
+        else:                                   # prebuilt MergedIndex
+            src = _MergedSource.from_merged(merged)
+        self.eu, self.ed = src.eu, src.ed
+        cuts_b, e_lo, e_hi, e_pad, nb_pad, db = shard_merged_cuts(src, mp)
+        # span steps must be a process-independent static (it is baked into
+        # the jitted program): derive every shard's from its pref_lo slice
+        span_steps = 1
+        for i in range(mp):
+            span_steps = max(span_steps, _shard_dir_steps(
+                src.pref_lo[cuts_b[i]:cuts_b[i + 1]], nb_pad, db))
+        self._meta = (src.h, src.kw, src.max_bucket, src.n_colors, db,
+                      span_steps)
         self._fns = {}
         self._maxm = maxm
         self._frac = hit_capacity_frac
-        # multi-process meshes: every process holds the full host arrays
-        # and supplies its addressable shards via the callback API
-        # (device_put with a cross-process NamedSharding is not allowed)
-        if jax.process_count() > 1:
-            self._shards = {
-                k: jax.make_array_from_callback(
-                    v.shape, NamedSharding(mesh, P("model")),
-                    lambda idx, v=v: v[idx],
-                )
-                for k, v in shards.items()
-            }
-        else:
-            self._shards = jax.device_put(
-                shards, {k: NamedSharding(mesh, P("model")) for k in shards}
+        if verbose or mp > 1:
+            sizes = [e_hi[i] - e_lo[i] for i in range(mp)]
+            print(
+                f"[dist] model shards: {mp} x {e_pad} entries (pad), "
+                f"utilization min {min(sizes) / max(e_pad, 1):.2f} / max "
+                f"{max(sizes) / max(e_pad, 1):.2f}, buckets pad {nb_pad}",
+                file=sys.stderr,
             )
+
+        # lazy shard materialization: the callback builds ONLY the shards
+        # this process addresses (single- and multi-process alike), so no
+        # full padded host stack ever exists
+        kw1 = src.erec.shape[1]
+        shapes = {
+            "erec": ((mp, e_pad, kw1), np.uint32),
+            "prec": ((mp, e_pad, 3), np.int32),
+            "pref_lo": ((mp, nb_pad), np.uint32),
+            "pref_hi": ((mp, nb_pad), np.uint32),
+            "brec": ((mp, nb_pad, 2), np.int32),
+            "dir_start": ((mp, (1 << db) + 1), np.int32),
+        }
+        cache: dict = {}
+
+        def get_shard(i: int) -> dict:
+            if i not in cache:
+                cache[i] = build_fused_shard(
+                    src, i, cuts_b, e_lo, e_hi, e_pad, nb_pad, db)[0]
+            return cache[i]
+
+        def make(name, shape, dtype):
+            def cb(idx):
+                rows = range(*idx[0].indices(mp))
+                parts = [get_shard(i)[name][tuple(idx[1:])] for i in rows]
+                return np.stack(parts).astype(dtype, copy=False)
+
+            return jax.make_array_from_callback(
+                shape, NamedSharding(mesh, P("model")), cb)
+
+        self._shards = {k: make(k, s, d) for k, (s, d) in shapes.items()}
+        cache.clear()
 
     def _get_fn(self, frac: int, maxm: int):
         key = (frac, maxm)
@@ -331,14 +435,10 @@ class DistSortJoinSession:
             dmi = DeviceMergedIndex(
                 h=h, kw=kw, eu=eu, ed=ed, max_bucket=max_bucket,
                 n_colors=n_colors,
-                key_words=sh["key_words"][0], length=sh["length"][0],
-                rid1=sh["rid1"][0], rid2=sh["rid2"][0],
-                gid=sh["gid"][0], color=sh["color"][0],
                 pref_lo=sh["pref_lo"][0], pref_hi=sh["pref_hi"][0],
-                bucket_start=sh["bucket_start"][0],
-                bucket_count=sh["bucket_count"][0],
                 dir_start=sh["dir_start"][0], dir_bits=db,
                 dir_span_steps=span_steps,
+                erec=sh["erec"][0], brec=sh["brec"][0], prec=sh["prec"][0],
             )
             ms, ovh, ovs = collect_matches_sortjoin(
                 dmi, codes, lengths, hit_capacity_frac=frac, maxm=maxm)

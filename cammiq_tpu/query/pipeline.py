@@ -74,6 +74,7 @@ class QuerySession:
         self.num_genome_slots = num_genome_slots
         self.num_entries_u = index_u.num_entries
         self.num_entries_d = index_d.num_entries if index_d is not None else 0
+        self._artifact = None
         if mesh is not None:
             from ..parallel.dist_query import DistSortJoinSession
 
@@ -125,6 +126,33 @@ class QuerySession:
                 static_argnames=("with_rcounts", "sc_mode"),
             )
 
+    @classmethod
+    def from_artifact(cls, artifact, num_genome_slots: int,
+                      cfg: QueryConfig | None = None, mesh=None):
+        """Start a session from a precomputed merged-index artifact
+        (index/artifact.py): no host lexsorts, no RC re-augmentation -
+        the memmapped fused records go straight to the device(s)."""
+        self = cls.__new__(cls)
+        self.cfg = cfg or QueryConfig()
+        self.mesh = mesh
+        self._acc_step_fn = None
+        self.num_genome_slots = num_genome_slots
+        self.num_entries_u = artifact.eu
+        self.num_entries_d = artifact.ed
+        self._artifact = artifact
+        if mesh is not None:
+            self._index_u = self._index_d = None
+            self._dist_sessions = {}
+            self.engine = "sortjoin-dist"
+            return self
+        from .sortjoin import to_device_merged_artifact
+
+        self._dm = to_device_merged_artifact(artifact)
+        self._classifiers = {}
+        self._frac, self._maxm = 32, 16
+        self.engine = "sortjoin"
+        return self
+
     # ---- per-engine classify returning DEVICE outputs (no syncs) ----
 
     def _classify_raw(self, codes, lengths, with_rcounts, sc_mode):
@@ -160,6 +188,7 @@ class QuerySession:
             self._dist_sessions[key] = DistSortJoinSession(
                 self.mesh, self._index_u, self._index_d,
                 self.num_genome_slots, sc_mode=sc_mode,
+                merged=self._artifact,
             )
         return self._dist_sessions[key]
 

@@ -375,16 +375,19 @@ class DeviceMergedIndex:
     ed: int
     max_bucket: int
     n_colors: int
-    key_words: Any
-    length: Any
-    rid1: Any
-    rid2: Any
-    gid: Any
-    color: Any
-    pref_lo: Any
-    pref_hi: Any
-    bucket_start: Any
-    bucket_count: Any
+    # base arrays: ONLY read when the fused records below are absent (the
+    # session path leaves them None so multi-GB duplicates of erec/prec
+    # are never transferred to the device)
+    key_words: Any = None
+    length: Any = None
+    rid1: Any = None
+    rid2: Any = None
+    gid: Any = None
+    color: Any = None
+    pref_lo: Any = None
+    pref_hi: Any = None
+    bucket_start: Any = None
+    bucket_count: Any = None
     dir_start: Any = None
     dir_bits: int = 0
     dir_span_steps: int = 0
@@ -426,6 +429,9 @@ def _fused_records(key_words, length, color, bucket_start, bucket_count,
 
 
 def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
+    """Device session view: ONLY the fused records + join hashes travel to
+    the device (the base arrays they were fused from stay on host - at a
+    production index they are a redundant multi-GB copy)."""
     import jax.numpy as jnp
 
     erec, brec, prec = _fused_records(
@@ -435,17 +441,29 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
     return DeviceMergedIndex(
         h=m.h, kw=m.kw, eu=m.eu, ed=m.ed, max_bucket=m.max_bucket,
         n_colors=m.n_colors,
-        key_words=jnp.asarray(m.key_words),
-        length=jnp.asarray(m.length),
-        rid1=jnp.asarray(m.rid1), rid2=jnp.asarray(m.rid2),
-        gid=jnp.asarray(m.gid), color=jnp.asarray(m.color),
         pref_lo=jnp.asarray(m.pref_lo), pref_hi=jnp.asarray(m.pref_hi),
-        bucket_start=jnp.asarray(m.bucket_start),
-        bucket_count=jnp.asarray(m.bucket_count),
         dir_start=(jnp.asarray(m.dir_start) if m.dir_start is not None else None),
         dir_bits=m.dir_bits, dir_span_steps=m.dir_span_steps,
         erec=jnp.asarray(erec), brec=jnp.asarray(brec),
         prec=jnp.asarray(prec),
+    )
+
+
+def to_device_merged_artifact(a) -> DeviceMergedIndex:
+    """Device session view straight from a MergedArtifact: memmap -> device
+    transfers, nothing recomputed (the artifact stores the fused records)."""
+    import jax.numpy as jnp
+
+    ds, db, steps = _build_directory(np.asarray(a.pref_lo))
+    return DeviceMergedIndex(
+        h=a.h, kw=a.kw, eu=a.eu, ed=a.ed, max_bucket=a.max_bucket,
+        n_colors=a.n_colors,
+        pref_lo=jnp.asarray(np.asarray(a.pref_lo)),
+        pref_hi=jnp.asarray(np.asarray(a.pref_hi)),
+        dir_start=jnp.asarray(ds), dir_bits=db, dir_span_steps=steps,
+        erec=jnp.asarray(np.asarray(a.erec)),
+        brec=jnp.asarray(np.asarray(a.brec)),
+        prec=jnp.asarray(np.asarray(a.prec)),
     )
 
 
