@@ -1,28 +1,116 @@
-"""Benchmark: k-mer probe + count-accumulation inner loop on one TPU chip.
+"""Benchmark: sort-join classification throughput on one TPU chip, at
+production index scale.
 
-Builds a synthetic multi-genome index, classifies batches of simulated
-reads with the jitted probe+classify step, and reports steady-state
-reads/s/chip.  Baseline north star (BASELINE.md): 10M reads/s on a
-v5p-16 (16 chips), i.e. 625K reads/s/chip; vs_baseline is measured
+Builds (once, cached under bench_cache/) a 1000-genome index — BASELINE
+config-#3 shape: ~600 MB corpus incl. reverse complements, several
+million unique entries — persists the merged query artifact
+(index/artifact.py), then measures the steady-state jitted
+classify step on batches of simulated reads.
+
+Baseline north star (BASELINE.md): 10M reads/s on a v5p-16 (16 chips,
+pinned in PERF.md), i.e. 625K reads/s/chip; vs_baseline is measured
 against that per-chip figure.
 
 Prints ONE JSON line:
   {"metric": "reads_per_sec_per_chip", "value": N, "unit": "reads/s",
-   "vs_baseline": N / 625000.0}
+   "vs_baseline": N / 625000.0, ...supporting fields...}
+
+Env knobs:
+  CAMMIQ_BENCH_TOY=1        round-1/2 toy index (64 genomes x 50 kb)
+  CAMMIQ_BENCH_GENOMES / CAMMIQ_BENCH_GLEN   override the corpus shape
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 PER_CHIP_BASELINE = 10_000_000 / 16.0  # BASELINE.md target / v5p-16 chips
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_GENOMES = int(os.environ.get("CAMMIQ_BENCH_GENOMES", "1000"))
+BENCH_GLEN = int(os.environ.get("CAMMIQ_BENCH_GLEN", "300000"))
 
 
-def build_bench_index(num_genomes=64, glen=50_000, seed=0):
+def log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def bench_cache_dir() -> str:
+    return os.path.join(
+        REPO, "bench_cache", f"g{BENCH_GENOMES}_l{BENCH_GLEN // 1000}k")
+
+
+def gen_bench_genomes():
+    from benchmarks.build_scale import gen_genomes
+
+    return gen_genomes(BENCH_GENOMES, BENCH_GLEN)
+
+
+def ensure_production_index() -> str:
+    """Build + persist the merged artifact once; return its directory."""
+    cdir = bench_cache_dir()
+    mdir = os.path.join(cdir, "merged")
+    if os.path.exists(os.path.join(mdir, "meta.json")):
+        return mdir
+
+    from cammiq_tpu.config import BuildConfig
+    from cammiq_tpu.index.artifact import prepare_merged
+    from cammiq_tpu.index.builder import build_index, save_index
+    from cammiq_tpu.io.fasta import corpus_from_sequences
+
+    t0 = time.time()
+    genomes = gen_bench_genomes()
+    corpus = corpus_from_sequences(genomes)
+    del genomes
+    log(f"bench corpus: {corpus.n / 1e9:.3f} GB "
+        f"({BENCH_GENOMES} genomes x {BENCH_GLEN / 1e3:.0f} kb + RC)")
+    cfg = BuildConfig(k=26, L=100, Lmax=50, h=26, mode="both")
+    art = build_index(corpus, cfg, engine="auto", verbose=True)
+    save_index(art, cdir)
+    log(f"index built in {time.time() - t0:.1f}s: "
+        f"unique={art.unique_index.num_entries} "
+        f"doubly={art.doubly_index.num_entries} entries")
+    del art, corpus
+    t1 = time.time()
+    prepare_merged(os.path.join(cdir, "index_u.npz"),
+                   os.path.join(cdir, "index_d.npz"), mdir, verbose=True)
+    log(f"merged artifact prepared in {time.time() - t1:.1f}s")
+    return mdir
+
+
+def sample_read_batch(rng, genomes, batch, L=100, Lpad=100, erate=0.01,
+                      rc_frac=0.5):
+    from cammiq_tpu.ops.packing import SYMBOL_IDX
+
+    num = len(genomes)
+    codes = np.zeros((batch, Lpad), np.int8)
+    lengths = np.full(batch, L, np.int32)
+    gsel = rng.integers(0, num, size=batch)
+    for b in range(batch):
+        c = genomes[gsel[b]][0]
+        p = int(rng.integers(0, len(c) - L))
+        arr = SYMBOL_IDX[np.frombuffer(c[p : p + L], np.uint8)]
+        codes[b, :L] = arr
+    errs = rng.random((batch, L)) < erate
+    codes[:, :L] = np.where(errs, rng.integers(0, 4, size=(batch, L)),
+                            codes[:, :L])
+    # reverse-complement half the reads (production read sets hit both
+    # strands; the classifier handles RC via the key augmentation)
+    flip = rng.random(batch) < rc_frac
+    rc = (3 - codes[flip, :L])[:, ::-1]
+    codes[flip, :L] = rc
+    return codes, lengths
+
+
+# ---------------------------------------------------------------- toy path
+
+def build_toy_index(num_genomes=64, glen=50_000, seed=0):
     from cammiq_tpu.config import BuildConfig
     from cammiq_tpu.index.builder import build_index
     from cammiq_tpu.io.fasta import corpus_from_sequences
@@ -39,73 +127,75 @@ def build_bench_index(num_genomes=64, glen=50_000, seed=0):
     corpus = corpus_from_sequences(genomes)
     cfg = BuildConfig(k=26, L=100, Lmax=50, h=26, mode="both")
     art = build_index(corpus, cfg, engine="auto")
-    return corpus, genomes, art
-
-
-def sample_read_batch(rng, genomes, batch, L=100, Lpad=100, erate=0.01):
-    num = len(genomes)
-    codes = np.zeros((batch, Lpad), np.int8)
-    lengths = np.full(batch, L, np.int32)
-    from cammiq_tpu.ops.packing import SYMBOL_IDX
-
-    gsel = rng.integers(0, num, size=batch)
-    for b in range(batch):
-        c = genomes[gsel[b]][0]
-        p = int(rng.integers(0, len(c) - L))
-        arr = SYMBOL_IDX[np.frombuffer(c[p : p + L], np.uint8)]
-        codes[b, :L] = arr
-    # substitution errors
-    errs = rng.random((batch, L)) < erate
-    codes[:, :L] = np.where(errs, rng.integers(0, 4, size=(batch, L)), codes[:, :L])
-    return codes, lengths
+    return genomes, art
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     # persistent compile cache: TPU compiles go through a slow remote
     # service on this machine; cache across bench runs
-    import os
-
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache_dir = os.path.join(REPO, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-
-    t0 = time.time()
+    toy = os.environ.get("CAMMIQ_BENCH_TOY", "") == "1"
     rng = np.random.default_rng(1)
-    corpus, genomes, art = build_bench_index()
-    print(f"# index built in {time.time()-t0:.1f}s: "
-          f"unique={art.unique_index.num_entries} "
-          f"doubly={art.doubly_index.num_entries} entries", file=sys.stderr)
+    t0 = time.time()
+    extra = {}
 
-    from cammiq_tpu.query.sortjoin import (
-        build_merged_index, make_sortjoin_classifier, to_device_merged,
-    )
+    if toy:
+        genomes, art = build_toy_index()
+        from cammiq_tpu.query.sortjoin import (
+            build_merged_index, make_sortjoin_classifier, to_device_merged)
 
-    dm = to_device_merged(build_merged_index(art.unique_index, art.doubly_index))
-    G = len(genomes) + 1
+        dm = to_device_merged(build_merged_index(art.unique_index,
+                                                 art.doubly_index))
+        G = len(genomes) + 1
+        classify = make_sortjoin_classifier(dm, G)
+        log(f"toy index: unique={art.unique_index.num_entries} "
+            f"doubly={art.doubly_index.num_entries}")
+    else:
+        mdir = ensure_production_index()
+        from cammiq_tpu.index.artifact import load_merged_artifact
+        from cammiq_tpu.query.sortjoin import (
+            make_sortjoin_classifier, to_device_merged_artifact)
 
-    batch = 8192
-    classify = make_sortjoin_classifier(dm, G)
+        t_sess = time.time()
+        artifact = load_merged_artifact(mdir)
+        dm = to_device_merged_artifact(artifact)
+        session_start_s = time.time() - t_sess
+        G = BENCH_GENOMES + 1
+        classify = make_sortjoin_classifier(dm, G)
+        log(f"merged artifact: E={artifact.E} NB={artifact.NB} "
+            f"max_bucket={artifact.max_bucket} n_colors={artifact.n_colors}; "
+            f"session start (lazy load + device put) {session_start_s:.1f}s")
+        extra = {
+            "genomes": BENCH_GENOMES,
+            "index_entries": int(artifact.E),
+            "session_start_s": round(session_start_s, 1),
+        }
+        genomes = gen_bench_genomes()
 
     def fn(codes, lengths):
         out, ovh, ovs = classify(codes, lengths, with_rcounts=True,
                                  sc_mode=False, uniform_len=100)
         return out
 
+    batch = 8192
     codes, lengths = sample_read_batch(rng, genomes, batch)
     codes_d = jnp.asarray(codes)
     lengths_d = jnp.asarray(lengths)
 
     # compile + warmup
+    tc = time.time()
     out = fn(codes_d, lengths_d)
     jax.block_until_ready(out)
-    t_compile = time.time() - t0
-    print(f"# compile+warmup at {t_compile:.1f}s", file=sys.stderr)
+    t_compile = time.time() - tc
+    log(f"compile+warmup {t_compile:.1f}s (total elapsed {time.time()-t0:.1f}s)")
+    extra["compile_s"] = round(t_compile, 1)
 
     # steady state: repeat until >= 3s measured
     iters = 2
@@ -120,14 +210,14 @@ def main():
         iters *= 2
     reads_per_sec = batch * iters / dt
     classified = int(np.asarray(out.cnts_u).sum() + np.asarray(out.cnts_d).sum() / 2)
-    print(f"# {iters} iters in {dt:.2f}s; {classified}/{batch} reads assigned",
-          file=sys.stderr)
+    log(f"{iters} iters in {dt:.2f}s; {classified}/{batch} reads assigned")
 
     print(json.dumps({
         "metric": "reads_per_sec_per_chip",
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / PER_CHIP_BASELINE, 4),
+        **extra,
     }))
 
 

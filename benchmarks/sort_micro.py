@@ -1,4 +1,5 @@
-"""Microbenchmarks for the sort primitives used by the sort-join probe.
+"""Microbenchmarks with in-jit repetition (8 chained ops per dispatch) so
+the ~1.2 ms axon dispatch latency amortizes away.
 
 Run:  python benchmarks/sort_micro.py
 """
@@ -6,22 +7,23 @@ Run:  python benchmarks/sort_micro.py
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import numpy as np
 
+R = 8  # in-jit repetitions
 
-def timeit(fn, *args, iters=32):
+
+def timeit_chain(fn, x0, iters=8):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    x = fn(x0)
+    jax.block_until_ready(x)
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1e3
+        x = fn(x)
+    jax.block_until_ready(x)
+    return (time.time() - t0) / (iters * R) * 1e3  # ms per single op
 
 
 def main():
@@ -33,61 +35,94 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    n = 1_314_483  # N + NB from the bench config
+    n = 1_314_483
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
     b = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    C = jnp.uint32(0x9E3779B1)
 
-    f_1key = jax.jit(lambda x: jax.lax.sort([x], num_keys=1, is_stable=False)[0])
-    f_1key_pay = jax.jit(
-        lambda x, y: jax.lax.sort([x, y], num_keys=1, is_stable=False))
-    f_2key = jax.jit(
-        lambda x, y: jax.lax.sort([x, y], num_keys=2, is_stable=False))
-    f_4op = jax.jit(
-        lambda x, y: jax.lax.sort([x, y, y, y], num_keys=2, is_stable=False))
+    def rep(body):
+        def f(x):
+            for _ in range(R):
+                x = body(x)
+            return x
+        return jax.jit(f)
 
-    print(f"n = {n}")
-    print(f"1 key          : {timeit(f_1key, a):7.3f} ms")
-    print(f"1 key + payload: {timeit(f_1key_pay, a, b):7.3f} ms")
-    print(f"2 keys         : {timeit(f_2key, a, b):7.3f} ms")
-    print(f"2 keys + 2 pay : {timeit(f_4op, a, b):7.3f} ms")
+    f1 = rep(lambda x: jax.lax.sort([x], num_keys=1, is_stable=False)[0]
+             * C + jnp.uint32(1))
 
-    # padded power-of-two vs odd length
-    n2 = 1 << 21
-    a2 = jnp.asarray(rng.integers(0, 2**32, size=n2, dtype=np.uint32))
-    b2 = jnp.asarray(rng.integers(0, 2**32, size=n2, dtype=np.uint32))
-    print(f"pow2 n={n2}: 1key {timeit(f_1key, a2):7.3f} ms   "
-          f"2key {timeit(f_2key, a2, b2):7.3f} ms")
+    def b2(xy):
+        sx, sy = jax.lax.sort(list(xy), num_keys=2, is_stable=False)
+        return (sx * C + jnp.uint32(1), sy ^ sx)
 
-    # segmented sort: [n/c, c] along last axis
+    def b1p(xy):
+        sx, sy = jax.lax.sort(list(xy), num_keys=1, is_stable=False)
+        return (sx * C + jnp.uint32(1), sy ^ sx)
+
+    f2 = rep(b2)
+    f1p = rep(b1p)
+
+    print(f"n = {n} (chained, x{R} in-jit)")
+    print(f"1 key          : {timeit_chain(f1, a):7.3f} ms")
+    print(f"1 key + payload: {timeit_chain(f1p, (a, b)):7.3f} ms")
+    print(f"2 keys         : {timeit_chain(f2, (a, b)):7.3f} ms")
+
     for c in (2048, 4096, 8192):
         m = (n // c) * c
+        fseg = rep(lambda x: jax.lax.sort(
+            [x], dimension=1, num_keys=1, is_stable=False)[0] * C
+            + jnp.uint32(1))
         a3 = a[:m].reshape(-1, c)
-        f_seg = jax.jit(lambda x: jax.lax.sort(
-            [x], dimension=1, num_keys=1, is_stable=False)[0])
-        print(f"segmented 1key c={c:5d}: {timeit(f_seg, a3):7.3f} ms "
-              f"({m} elems)")
+        print(f"segmented 1key c={c:5d}: {timeit_chain(fseg, a3):7.3f} ms")
 
-    # scatter-add histogram cost at the part2 scale
-    k = 38400
+    # segmented 2key
+    for c in (4096,):
+        m = (n // c) * c
+
+        def bseg(xy):
+            sx, sy = jax.lax.sort(list(xy), dimension=1, num_keys=2,
+                                  is_stable=False)
+            return (sx * C + jnp.uint32(1), sy ^ sx)
+
+        fseg2 = rep(bseg)
+        print(f"segmented 2key c={c:5d}: "
+              f"{timeit_chain(fseg2, (a[:m].reshape(-1, c), b[:m].reshape(-1, c))):7.3f} ms")
+
+    fel = rep(lambda x: x * C + jnp.uint32(7))
+    ms = timeit_chain(fel, a, iters=8)
+    print(f"elementwise pass: {ms:7.3f} ms ({n*8/ms*1e3/1e9:.0f} GB/s)")
+
+    # scatter-add
     bins = 85685
-    idx = jnp.asarray(rng.integers(0, bins, size=k, dtype=np.int32))
-    f_sc = jax.jit(lambda i: jnp.zeros(bins + 1, jnp.int32).at[i].add(1))
-    print(f"scatter-add {k} -> {bins} bins: {timeit(f_sc, idx):7.3f} ms")
-    k2 = 8192
-    idx2 = idx[:k2]
-    print(f"scatter-add {k2} -> {bins} bins: {timeit(f_sc, idx2):7.3f} ms")
+    for k in (38400, 8192):
+        idx0 = jnp.asarray(rng.integers(0, bins, size=k, dtype=np.int32))
 
-    # gather cost at compaction scale
-    src = jnp.asarray(rng.integers(0, 2**31, size=n, dtype=np.int32))
-    gidx = jnp.asarray(rng.integers(0, n, size=19200, dtype=np.int32))
-    f_g = jax.jit(lambda s, i: s[i])
-    print(f"gather 19200 from {n}: {timeit(f_g, src, gidx):7.3f} ms")
-    src2 = jnp.asarray(
-        rng.integers(0, 2**31, size=(n // 4, 5), dtype=np.int32))
-    gidx2 = jnp.asarray(rng.integers(0, n // 4, size=19200, dtype=np.int32))
-    f_g2 = jax.jit(lambda s, i: s[i])
-    print(f"row-gather 19200x5 from {n//4}: {timeit(f_g2, src2, gidx2):7.3f} ms")
+        def bsc(idx, k=k):
+            h = jnp.zeros(bins + 1, jnp.int32).at[idx].add(1)
+            return (idx + h[:k]) % bins
+
+        print(f"scatter-add {k:6d} -> {bins}: "
+              f"{timeit_chain(rep(bsc), idx0):7.3f} ms")
+
+    # gather
+    src = jnp.asarray(rng.integers(1, 2**31, size=n, dtype=np.int32))
+    for k in (19200, 38400):
+        gidx0 = jnp.asarray(rng.integers(0, n, size=k, dtype=np.int32))
+
+        def bg(gi):
+            v = src[gi]
+            return (gi + v) % n
+
+        print(f"gather {k:6d} from {n}: {timeit_chain(rep(bg), gidx0):7.3f} ms")
+
+    srcr = jnp.asarray(rng.integers(1, 2**31, size=(n // 4, 5), dtype=np.int32))
+    gidx1 = jnp.asarray(rng.integers(0, n // 4, size=19200, dtype=np.int32))
+
+    def bgr(gi):
+        v = srcr[gi]
+        return (gi + v[:, 0] + v[:, 4]) % (n // 4)
+
+    print(f"row-gather 19200x5: {timeit_chain(rep(bgr), gidx1):7.3f} ms")
 
 
 if __name__ == "__main__":

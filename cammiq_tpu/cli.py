@@ -3,7 +3,8 @@
 Mirrors the reference CLI surface (src/main.cpp:48-552):
 
   cammiq-tpu --build (--unique|--doubly_unique|--both) -f MAP -D DIR \
-      [-k K] [-L L] [-Lmax LMAX] [-h H [H2]] [-i IDX_U IDX_D] [-t T]
+      [-k K] [-L L] [-Lmax LMAX] [-h H [H2]] [-i IDX_U IDX_D] [-t T] \
+      [--exact_sa] [--merged DIR]
   cammiq-tpu --query [--read_cnts [--doubly_unique]] -f MAP \
       -i IDX_U [IDX_D] (-q FASTQ... | -Q DIR) -o OUT [-e ERATE] [-h H] \
       [--read_length_filter N] [fine parameter flags]
@@ -40,6 +41,7 @@ def parse_args(argv: List[str]) -> dict:
         "u_thres": -1.0, "d_thres": -1.0,
         "engine": "auto", "profile": "", "model_shards": 1,
         "ilp_time_limit": 10800.0, "ilp_enum_cap": 8, "merged": "",
+        "exact_sa": False,
     }
     i = 0
     while i < len(argv):
@@ -101,6 +103,8 @@ def parse_args(argv: List[str]) -> dict:
         elif v == "--engine":
             i += 1
             a["engine"] = argv[i]
+        elif v == "--exact_sa":
+            a["exact_sa"] = True
         elif v == "--model_shards":
             i += 1
             a["model_shards"] = int(argv[i])
@@ -174,6 +178,10 @@ def run_build(a: dict) -> None:
         h2=a["h2"],
         mode=a["idx_option"] or "both",
         num_groups=min(a["t"], 4),
+        # --exact_sa: full SA-IS sort instead of the depth-bounded suffix
+        # sort (identical index; deep-repeat skipped-candidate bookkeeping
+        # parity, see BuildConfig.bounded_sa)
+        bounded_sa=not a["exact_sa"],
     )
     if a["fm_name"]:
         files = read_map_file(a["fm_name"], a["fa_dir"])
@@ -222,7 +230,7 @@ def run_build(a: dict) -> None:
 
 
 def run_query(a: dict) -> None:
-    from .index.table import load_flat_index
+    from .index.table import load_flat_index_pair
     from .io.fastq import list_fastq_dir, read_fastq
     from .io.mapfile import load_genome_lengths, load_smap
     from .models import output as outmod
@@ -241,8 +249,9 @@ def run_query(a: dict) -> None:
         artifact = load_merged_artifact(a["fi_u"])
         index_u, index_d = artifact.payloads()
     else:
-        index_u = load_flat_index(a["fi_u"])
-        index_d = load_flat_index(a["fi_d"]) if a["fi_d"] and os.path.exists(a["fi_d"]) else None
+        index_u, index_d = load_flat_index_pair(
+            a["fi_u"],
+            a["fi_d"] if a["fi_d"] and os.path.exists(a["fi_d"]) else None)
 
     table = load_smap(a["fm_name"])
     idx_dir = (a["fi_u"] if artifact is not None

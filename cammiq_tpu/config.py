@@ -56,6 +56,19 @@ class BuildConfig:
     # bit-parity mode: reproduce the reference's if-advance over contig
     # boundaries in the unique sparsifier (src/build.cpp:362)
     unique_if_advance: bool = False
+    # Depth-bounded suffix sort (native/bsort.cpp): sort suffixes on their
+    # first sa_depth bytes only.  Every LCP0/OCC/MU consumer thresholds at
+    # <= L+2 (src/gsa.cpp:239-712), so any sa_depth >= L+28 yields the
+    # same index; deep-repeat (> sa_depth) *skipped* candidates may shift
+    # position relative to the full-sort pipeline, which can differ in
+    # contig-boundary ulm bookkeeping corner cases.  True = auto depth
+    # (max(128, L+28) rounded up to 8); False = full SA-IS sort.
+    bounded_sa: bool = True
+
+    @property
+    def sa_depth(self) -> int:
+        return ((max(128, self.L + 28, self.Lmax + 28, self.h + 28) + 7)
+                // 8 * 8)
 
     def __post_init__(self):
         if not (5 <= self.k <= MAX_K):

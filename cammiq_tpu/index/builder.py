@@ -109,12 +109,25 @@ def build_index(
     from .. import native
 
     sweeps = engine == "native" and native.has_sweeps()
+    bounded = sweeps and cfg.bounded_sa and native.has_bsort()
     # the reference computes the SA over n + sentinels but keeps ranks of
     # the n real suffixes only (divsufsort over n chars; src/build.cpp:286)
     with stage_timer("computing suffix array", timings, verbose):
-        sa = staged(store, "sa", lambda: _suffix_array(corpus.seq, engine)[:n])
+        if bounded:
+            # depth-bounded suffix sort: exact for every consumer that
+            # thresholds LCPs at <= L+2 (all of them); parallel, one
+            # counting-sort pass + per-bucket bounded sorts
+            sa = staged(store, f"bsa{cfg.sa_depth}",
+                        lambda: native.bounded_sa(corpus.seq, cfg.sa_depth))
+        else:
+            sa = staged(store, "sa",
+                        lambda: _suffix_array(corpus.seq, engine)[:n])
     with stage_timer("computing LCP array", timings, verbose):
-        if sweeps:
+        if bounded:
+            lcp = staged(store, f"blcp16_{cfg.sa_depth}",
+                         lambda: native.bounded_lcp_u16(corpus.seq, sa,
+                                                        cfg.sa_depth))
+        elif sweeps:
             lcp = staged(store, "lcp16",
                          lambda: native.kasai_u16(corpus.seq[:n], sa))
         else:

@@ -300,6 +300,21 @@ def save_flat_index(path: str, idx: FlatIndex) -> None:
     )
 
 
+def load_flat_index_pair(path_u: str, path_d):
+    """Load the unique+doubly tables concurrently (2 decompression
+    threads; zlib releases the GIL on large buffers).  The reference
+    likewise loads its two tries in parallel at query start
+    (src/query.cpp:109-123)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not path_d:
+        return load_flat_index(path_u), None
+    with ThreadPoolExecutor(2) as ex:
+        fu = ex.submit(load_flat_index, path_u)
+        fd = ex.submit(load_flat_index, path_d)
+        return fu.result(), fd.result()
+
+
 def load_flat_index(path: str) -> FlatIndex:
     z = np.load(path)
     return FlatIndex(

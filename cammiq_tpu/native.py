@@ -99,6 +99,14 @@ def _register_sweeps(lib) -> None:
         lib._has_sweeps = True
     except AttributeError:
         lib._has_sweeps = False
+    try:
+        lib.cammiq_bounded_sa.restype = ctypes.c_int
+        lib.cammiq_bounded_sa.argtypes = [u8p, i64, i64, i64p]
+        lib.cammiq_bounded_lcp_u16.restype = None
+        lib.cammiq_bounded_lcp_u16.argtypes = [u8p, i64, i64p, i64, u16p]
+        lib._has_bsort = True
+    except AttributeError:
+        lib._has_bsort = False
 
 
 def available() -> bool:
@@ -108,6 +116,11 @@ def available() -> bool:
 def has_sweeps() -> bool:
     lib = _load()
     return lib is not None and getattr(lib, "_has_sweeps", False)
+
+
+def has_bsort() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_bsort", False)
 
 
 def _ptr(a: np.ndarray, ct):
@@ -268,6 +281,42 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"native sais failed with code {rc}")
     return sa
+
+
+def bounded_sa(s: np.ndarray, depth: int) -> np.ndarray:
+    """Depth-bounded suffix sort (native/bsort.cpp): suffix order on the
+    first `depth` bytes only; ties beyond `depth` in arbitrary order.
+    Exact for every index consumer that thresholds LCPs at < depth-1
+    (all of src/gsa.cpp:239-712 with depth >= L+2)."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_bsort", False):
+        raise RuntimeError("native bounded sort not available")
+    s = np.ascontiguousarray(s, dtype=np.uint8)
+    n = s.shape[0]
+    sa = np.empty(n, dtype=np.int64)
+    rc = lib.cammiq_bounded_sa(
+        _ptr(s, ctypes.c_uint8), ctypes.c_int64(n), ctypes.c_int64(depth),
+        _ptr(sa, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"native bounded_sa failed with code {rc}")
+    return sa
+
+
+def bounded_lcp_u16(s: np.ndarray, sa: np.ndarray, cap: int) -> np.ndarray:
+    """Adjacent-pair LCP clamped at `cap` ([n+1] uint16, lcp[0]=lcp[n]=0).
+    Pair with bounded_sa(depth=cap): within a tie group the adjacent LCP
+    is exactly cap, so the clamp is self-consistent."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_bsort", False):
+        raise RuntimeError("native bounded sort not available")
+    s = np.ascontiguousarray(s, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    n = s.shape[0]
+    lcp = np.zeros(n + 1, dtype=np.uint16)
+    lib.cammiq_bounded_lcp_u16(
+        _ptr(s, ctypes.c_uint8), ctypes.c_int64(n), _ptr(sa, ctypes.c_int64),
+        ctypes.c_int64(cap), _ptr(lcp, ctypes.c_uint16))
+    return lcp
 
 
 def parse_fastq(data: bytes, max_len: int, min_len: int = 0,

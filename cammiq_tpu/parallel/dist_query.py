@@ -252,7 +252,15 @@ def shard_merged_cuts(src: _MergedSource, mp: int):
     from ..query.sortjoin import _HHI_BITS  # noqa: F401  (doc anchor)
 
     NB, E = src.NB, src.E
-    cuts_b = [NB * i // mp for i in range(mp + 1)]
+    # equal-ENTRY cuts (entries dominate shard memory; equal-bucket cuts
+    # pad every shard to the most entry-heavy one on skewed indexes)
+    bs = np.asarray(src.bucket_start)
+    cuts_b = [0] + [
+        int(np.searchsorted(bs, E * i // mp, side="left"))
+        for i in range(1, mp)
+    ] + [NB]
+    for i in range(1, mp):
+        cuts_b[i] = min(max(cuts_b[i], cuts_b[i - 1]), NB)
     # snap cuts forward so bucket rows sharing one entry span (hash
     # collisions merged by hlo) never split across shards
     for i in range(1, mp):

@@ -1,0 +1,207 @@
+"""Realistic-content end-to-end validation (BASELINE accuracy bar).
+
+RefSeq-like stress content, scaled to test size: strain families at
+95-99.5% average nucleotide identity, a multi-kilobase backbone shared by
+a third of the database, plus unrelated genomes.  This is what drives
+doubly-entry density, n_colors, max_bucket, and conflict rates in
+production (reference quant semantics: src/query.cpp:1082-1298).
+
+Asserts exact genome-set recovery and a tight L1 against the simulation
+ground truth, and logs the measured index/merge statistics.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from cammiq_tpu.cli import main as cli_main
+from cammiq_tpu.models.output import parse_quant_output
+from cammiq_tpu.tools.simulate import simulate
+
+ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+GLEN = 20_000
+FAMILIES = 10
+STRAINS = 8          # per family
+UNRELATED = 20
+# per-strain substitution rates: 95% .. 99.9% ANI
+STRAIN_RATES = [0.05, 0.03, 0.02, 0.01, 0.005, 0.003, 0.002, 0.001]
+PRIVATE_SEGS = 3       # strain-private insertions (gene gain/loss analog)
+PRIVATE_LEN = 300
+
+
+def _mutate(rng, seq, rate):
+    """Substitutions at `rate` plus a few strain-private segments: real
+    strains differ by gene content as well as SNPs, and the private
+    islands are what makes very close strains identifiable at all."""
+    v = seq.copy()
+    m = int(round(rate * v.shape[0]))
+    if m:
+        pos = rng.choice(v.shape[0], size=m, replace=False)
+        v[pos] = (v[pos] + rng.integers(1, 4, size=m)) % 4
+    for _ in range(PRIVATE_SEGS):
+        at = int(rng.integers(0, v.shape[0] - PRIVATE_LEN))
+        v[at : at + PRIVATE_LEN] = rng.integers(0, 4, size=PRIVATE_LEN)
+    return v
+
+
+@pytest.fixture(scope="module")
+def realistic_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("realdb")
+    db = root / "fasta"
+    db.mkdir()
+    rng = np.random.default_rng(11)
+    backbone = rng.integers(0, 4, size=3000)
+
+    genomes = []  # (name, codes)
+    for fam in range(FAMILIES):
+        anc = rng.integers(0, 4, size=GLEN)
+        for s, rate in enumerate(STRAIN_RATES):
+            v = _mutate(rng, anc, rate)
+            genomes.append((f"f{fam}s{s}", v))
+    for u in range(UNRELATED):
+        genomes.append((f"u{u}", rng.integers(0, 4, size=GLEN)))
+
+    # splice the shared backbone into every 3rd genome (~33 genomes):
+    # content present in >2 genomes never enters the index but shapes
+    # conflicts/undetermined reads
+    for gi in range(0, len(genomes), 3):
+        name, v = genomes[gi]
+        at = int(rng.integers(0, GLEN - backbone.shape[0]))
+        v[at : at + backbone.shape[0]] = backbone
+
+    entries = []
+    for gi, (name, v) in enumerate(genomes):
+        fn = f"{name}.fasta"
+        with open(db / fn, "w") as f:
+            f.write(f">{name}\n")
+            s = ALPHA[v].tobytes().decode()
+            for i in range(0, len(s), 80):
+                f.write(s[i : i + 80] + "\n")
+        entries.append((fn, gi + 1, 5000 + gi, name))
+    map_file = root / "genome_map.out"
+    with open(map_file, "w") as f:
+        for fn, gid, taxid, name in entries:
+            f.write(f"{fn}\t{gid}\t{taxid}\t{name}\n")
+    return root, db, map_file, entries
+
+
+@pytest.fixture(scope="module")
+def realistic_idx(realistic_db):
+    root, db, map_file, entries = realistic_db
+    idx = root / "idx"
+    idx.mkdir()
+    cli_main([
+        "--build", "--both",
+        "-f", str(map_file), "-D", str(db) + "/",
+        "-k", "21", "-L", "100", "-Lmax", "40", "-h", "21",
+        "-i", str(idx / "index_u.npz"), str(idx / "index_d.npz"),
+        "--engine", "auto",
+    ])
+    return idx
+
+
+def test_index_stats(realistic_idx):
+    """Doubly density + merged-index shape on high-similarity content."""
+    from cammiq_tpu.index.table import load_flat_index
+    from cammiq_tpu.query.sortjoin import build_merged_index
+
+    iu = load_flat_index(str(realistic_idx / "index_u.npz"))
+    idd = load_flat_index(str(realistic_idx / "index_d.npz"))
+    m = build_merged_index(iu, idd)
+    print(f"# realistic index: unique={iu.num_entries} "
+          f"doubly={idd.num_entries} "
+          f"(density {idd.num_entries / max(iu.num_entries, 1):.3f}) "
+          f"max_bucket={m.max_bucket} n_colors={m.n_colors}",
+          file=sys.stderr)
+    # strain pairs at >= 99% ANI must produce real doubly-unique material
+    assert idd.num_entries > 100
+    # chain coloring must stay small even with prefix-heavy strain content
+    assert m.n_colors <= 8
+    assert iu.num_entries > 10_000
+
+
+def test_quant_recovery(realistic_db, realistic_idx, tmp_path):
+    """Exact genome-set recovery + tight L1 on a 12-genome mixture with
+    same-family strains and backbone carriers present."""
+    root, db, map_file, entries = realistic_db
+    # present set: two strains of family 0 (95% and 99.5% ANI to
+    # ancestor), one strain each from three more families, backbone
+    # carriers, and unrelated genomes
+    present_names = ["f0s0", "f0s7", "f1s3", "f2s5", "f3s7", "f4s0",
+                     "u0", "u3", "u6", "u9", "u12", "u15"]
+    by_name = {name: (gid, taxid) for (fn, gid, taxid, name) in entries}
+    present_tax = [str(by_name[n][1]) for n in present_names]
+    tax_of_gid = {str(gid): taxid for (fn, gid, taxid, name) in entries}
+
+    fq = tmp_path / "real.fq"
+    rep = tmp_path / "truth.out"
+    truth = simulate(str(map_file), str(db), str(fq), str(rep),
+                     num_reads=30_000, L=100, erate=0.0,
+                     genome_ids=present_tax, dist="lognormal", seed=5)
+    truth = {tax_of_gid[g]: a for g, a in truth.items()}
+    out = tmp_path / "quant.out"
+    # small-read-set fine parameters: with 30K reads the reference's
+    # easy-genome gate (read_cnts_d >= 100, src/query.cpp:1118-1133)
+    # starves; raise the easy threshold out of range and tighten alpha
+    # so presence is decided by cnts >= nus*alpha
+    cli_main([
+        "--query",
+        "-f", str(map_file),
+        "-i", str(realistic_idx / "index_u.npz"),
+        str(realistic_idx / "index_d.npz"),
+        "-q", str(fq), "-o", str(out),
+        "-e", "0.0",
+        "--easy_to_identify_thres", "100000", "--ilp_alpha", "0.001",
+    ])
+    rows = parse_quant_output(str(out))[0]["rows"]
+    got_tax = sorted(t for t, _, _ in rows)
+    want_tax = sorted(int(t) for t in present_tax)
+    assert got_tax == want_tax, (
+        f"genome set mismatch: missing={set(want_tax) - set(got_tax)} "
+        f"spurious={set(got_tax) - set(want_tax)}")
+
+    got = {t: a for t, a, _ in rows}
+    l1 = sum(abs(got.get(int(t), 0.0) - truth[int(t)]) for t in present_tax)
+    print(f"# realistic quant L1 = {l1:.4f} over {len(present_tax)} genomes",
+          file=sys.stderr)
+    assert l1 < 0.05, f"L1 {l1:.4f} too large"
+
+
+def test_quant_recovery_with_errors(realistic_db, realistic_idx, tmp_path):
+    """Same mixture under 1% read error with the error-rate correction."""
+    root, db, map_file, entries = realistic_db
+    present_names = ["f0s0", "f0s7", "f5s2", "u1", "u4", "u7"]
+    by_name = {name: (gid, taxid) for (fn, gid, taxid, name) in entries}
+    present_tax = [str(by_name[n][1]) for n in present_names]
+
+    tax_of_gid = {str(gid): taxid for (fn, gid, taxid, name) in entries}
+    fq = tmp_path / "real_err.fq"
+    truth = simulate(str(map_file), str(db), str(fq),
+                     str(tmp_path / "t.out"),
+                     num_reads=24_000, L=100, erate=0.01,
+                     genome_ids=present_tax, seed=9)
+    truth = {tax_of_gid[g]: a for g, a in truth.items()}
+    out = tmp_path / "quant_err.out"
+    cli_main([
+        "--query",
+        "-f", str(map_file),
+        "-i", str(realistic_idx / "index_u.npz"),
+        str(realistic_idx / "index_d.npz"),
+        "-q", str(fq), "-o", str(out),
+        "-e", "0.01",
+        "--easy_to_identify_thres", "100000", "--ilp_alpha", "0.001",
+    ])
+    rows = parse_quant_output(str(out))[0]["rows"]
+    got_tax = sorted(t for t, _, _ in rows)
+    assert got_tax == sorted(int(t) for t in present_tax)
+    got = {t: a for t, a, _ in rows}
+    l1 = sum(abs(got.get(int(t), 0.0) - truth[int(t)]) for t in present_tax)
+    print(f"# realistic quant (1% err) L1 = {l1:.4f}", file=sys.stderr)
+    # at 1% error on 20 kb toy genomes a third of error reads lose all
+    # their unique matches, so per-genome assignment bias (~3%/genome)
+    # dominates; the reference's wcov formula (replicated here,
+    # src/query.cpp:1160) has the same residual.  Set recovery above is
+    # the exact assertion; L1 guards against gross regressions.
+    assert l1 < 0.2, f"L1 {l1:.4f} too large"
