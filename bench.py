@@ -189,25 +189,34 @@ def main():
     codes_d = jnp.asarray(codes)
     lengths_d = jnp.asarray(lengths)
 
-    # compile + warmup
+    # compile + warmup.  NB: jax.block_until_ready is a NO-OP on the axon
+    # TPU tunnel (verified: an 8192^3 matmul "blocks" in 0.07 ms); the only
+    # true sync is a device->host transfer, which costs a flat ~25 ms RTT.
+    # So: sync with np.asarray, and amortize the RTT by enqueueing many
+    # batches per sync (dispatch has backpressure, so the enqueue loop
+    # cannot run ahead unboundedly).
+    def sync(o):
+        return np.asarray(o.cnts_u)
+
     tc = time.time()
     out = fn(codes_d, lengths_d)
-    jax.block_until_ready(out)
+    sync(out)
     t_compile = time.time() - tc
     log(f"compile+warmup {t_compile:.1f}s (total elapsed {time.time()-t0:.1f}s)")
     extra["compile_s"] = round(t_compile, 1)
 
-    # steady state: repeat until >= 3s measured
-    iters = 2
+    # steady state: enqueue `iters` batches, one sync at the end; grow
+    # until >= 3 s measured so the single 25 ms RTT is noise
+    iters = 8
     while True:
         t1 = time.time()
         for _ in range(iters):
             out = fn(codes_d, lengths_d)
-        jax.block_until_ready(out)
+        sync(out)
         dt = time.time() - t1
-        if dt > 3.0 or iters >= 256:
+        if dt > 3.0 or iters >= 4096:
             break
-        iters *= 2
+        iters *= 4
     reads_per_sec = batch * iters / dt
     classified = int(np.asarray(out.cnts_u).sum() + np.asarray(out.cnts_d).sum() / 2)
     log(f"{iters} iters in {dt:.2f}s; {classified}/{batch} reads assigned")

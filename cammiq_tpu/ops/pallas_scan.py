@@ -130,11 +130,11 @@ def first_of_run_scan_pallas(is_start, *values):
 
 
 def first_of_run_scan(is_start, *values, use_pallas: bool | None = None):
-    """Dispatcher: pallas single-pass on TPU, associative scan elsewhere."""
-    import jax
-
+    """Dispatcher: XLA associative scan by default; the pallas kernel is
+    opt-in (it runs standalone on the axon TPU tunnel but hangs when fused
+    into the full classify program — see query/sortjoin.py)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = False
     if use_pallas:
         try:
             return first_of_run_scan_pallas(is_start, *values)

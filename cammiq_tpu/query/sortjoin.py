@@ -624,10 +624,13 @@ def collect_matches_sortjoin(
         has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
         import os
 
-        use_pallas = os.environ.get("CAMMIQ_PALLAS_SCAN", "auto")
-        if use_pallas == "1" or (
-            use_pallas == "auto" and jax.default_backend() != "cpu"
-        ):
+        # default OFF: embedded in this program the pallas kernel never
+        # completes on the axon TPU tunnel (standalone it runs, but the
+        # fused program hangs at any index size; the XLA associative scan
+        # measures 943K reads/s/chip honest-sync at E=329K).  Opt back in
+        # with CAMMIQ_PALLAS_SCAN=1 on platforms where it is validated.
+        use_pallas = os.environ.get("CAMMIQ_PALLAS_SCAN", "0")
+        if use_pallas == "1":
             from ..ops.pallas_scan import first_of_run_scan_pallas
 
             pbid, ptab = first_of_run_scan_pallas(is_start, sval, has_tab)
