@@ -205,14 +205,21 @@ def main():
     log(f"compile+warmup {t_compile:.1f}s (total elapsed {time.time()-t0:.1f}s)")
     extra["compile_s"] = round(t_compile, 1)
 
-    # steady state: enqueue `iters` batches, one sync at the end; grow
-    # until >= 3 s measured so the single 25 ms RTT is noise
+    # steady state: enqueue batches, sync every <=256 iters (each sync
+    # bounds the number of in-flight output buffers; the ~25 ms RTT is
+    # amortized over >=256 dispatches, <1% noise); timing assumes the
+    # device executes enqueued programs in order, which holds for the
+    # single-stream XLA dispatch used here.  Grow until >= 3 s measured.
     iters = 8
     while True:
         t1 = time.time()
-        for _ in range(iters):
-            out = fn(codes_d, lengths_d)
-        sync(out)
+        done = 0
+        while done < iters:
+            chunk = min(256, iters - done)
+            for _ in range(chunk):
+                out = fn(codes_d, lengths_d)
+            sync(out)
+            done += chunk
         dt = time.time() - t1
         if dt > 3.0 or iters >= 4096:
             break

@@ -26,11 +26,29 @@ _LIB_PATHS = (
 )
 
 
+def _ensure_built() -> None:
+    """Build the library from source if absent (it is not versioned)."""
+    src_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "native"))
+    so = os.path.join(src_dir, "libcammiq_native.so")
+    if os.path.exists(so) or not os.path.exists(os.path.join(src_dir, "Makefile")):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir, "-j"],
+            check=False, capture_output=True, timeout=300,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    _ensure_built()
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):

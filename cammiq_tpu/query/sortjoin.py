@@ -630,6 +630,13 @@ def collect_matches_sortjoin(
         # measures 943K reads/s/chip honest-sync at E=329K).  Opt back in
         # with CAMMIQ_PALLAS_SCAN=1 on platforms where it is validated.
         use_pallas = os.environ.get("CAMMIQ_PALLAS_SCAN", "0")
+        if use_pallas not in ("", "0", "1"):
+            import warnings
+
+            warnings.warn(
+                f"CAMMIQ_PALLAS_SCAN={use_pallas!r} is not recognized "
+                "(use '1' to enable or '0'/unset to disable); the pallas "
+                "scan stays DISABLED")
         if use_pallas == "1":
             from ..ops.pallas_scan import first_of_run_scan_pallas
 
