@@ -496,6 +496,7 @@ def collect_matches_sortjoin(
     uniform_len: int | None = None,
     return_compact: bool = False,
     join: str = "auto",
+    cut: str | None = None,
 ):
     """MatchSlots [B, maxm] via the sort-join probe (forward strand only;
     the merged index is RC-augmented, see module docstring).
@@ -508,9 +509,19 @@ def collect_matches_sortjoin(
     (read_id, gid, distinct mask; n_colors*K each) so rcounts can be
     scattered at match granularity (~hits) instead of B*maxm slots.
     join: 'auto' (directory when NB > 4N), 'sort', or 'dir'.
+    cut: profiling hook - return early (a tiny reduction of the live
+    intermediates, so nothing downstream is built) after the named stage:
+    'hash' (probe words + prefix hashes), 'search' (join/dir search),
+    'compact' (hit compaction sort), 'bucket' (bucket scan), 'payload'
+    (match payload gathers).  The traced program is the production
+    program's prefix, so cut-to-cut deltas are true per-stage costs.
     """
     import jax
     import jax.numpy as jnp
+
+    def _cut_out(*xs):
+        return sum(jnp.sum(x.astype(jnp.int32) if x.dtype == bool else x)
+                   for x in xs)
 
     B, Lp = codes.shape
     h, kw = dm.h, dm.kw
@@ -550,6 +561,8 @@ def collect_matches_sortjoin(
     N = B * O
 
     khlo, khhi = _hash_prefix(klo, khi, jnp)
+    if cut == "hash":
+        return _cut_out(p16s, khlo, khhi)
     BIGOFF = jnp.int32(1 << 30)
     use_dir = dm.dir_start is not None and (
         join == "dir" or (join == "auto" and NB > 4 * N)
@@ -579,6 +592,8 @@ def collect_matches_sortjoin(
         blo, bhi = jax.lax.fori_loop(0, dm.dir_span_steps, bs_body, (blo, bhi))
         found_row = jnp.minimum(blo, NB - 1)
         probe_hit = (blo < NB) & (dm.pref_lo[found_row] == khlo)   # [N]
+        if cut == "search":
+            return _cut_out(probe_hit, found_row)
         # compact hit probes to capacity K with one single-operand sort
         K = min(max(N // hit_capacity_frac, 256), N)
         rows = jnp.arange(N, dtype=jnp.int32)
@@ -644,6 +659,8 @@ def collect_matches_sortjoin(
         else:
             pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
         probe_hit = (stag == 1) & (ptab > 0)
+        if cut == "search":
+            return _cut_out(probe_hit, pbid)
 
         # ---- compact hits to capacity K: a single 1-key sort on a fused
         # (miss-flag | sorted-row) key brings the hit rows (in order) to
@@ -658,6 +675,8 @@ def collect_matches_sortjoin(
         crow_c = jnp.where(cv, skey, 0)
         cpos = jnp.where(cv, sval[crow_c], -1)
         cbid = pbid[crow_c]
+    if cut == "compact":
+        return _cut_out(cv, cpos, cbid)
     # bucket (start, count) as one row-gather (precomputed at session
     # setup when available; rebuilding costs a full-index copy per batch)
     brec = dm.brec if dm.brec is not None else jnp.stack(
@@ -751,6 +770,8 @@ def collect_matches_sortjoin(
         found = found.at[jnp.where(match, widc, 0),
                          jnp.where(match, ecol, NC)].set(e)
 
+    if cut == "bucket":
+        return _cut_out(found)
     # a work-capacity overflow widens K (and with it KE) like a hit
     # overflow: both mean candidates went unscanned
     overflow_hits = overflow_hits + overflow_work
@@ -764,6 +785,8 @@ def collect_matches_sortjoin(
     m_gid = jnp.where(hitf, pr[:, 0], BIG)
     m_r1 = jnp.where(hitf, pr[:, 1], 0)
     m_r2 = jnp.where(hitf, pr[:, 2], 0)
+    if cut == "payload":
+        return _cut_out(m_gid, m_r1, m_r2)
 
     # ---- assemble per-read distinct slots [B, maxm]
     read_of = jnp.where(cvalid, r2, B)                # B = padded row
