@@ -154,7 +154,6 @@ def main():
         dm = to_device_merged(build_merged_index(art.unique_index,
                                                  art.doubly_index))
         G = len(genomes) + 1
-        classify = make_sortjoin_classifier(dm, G)
         log(f"toy index: unique={art.unique_index.num_entries} "
             f"doubly={art.doubly_index.num_entries}")
     else:
@@ -168,7 +167,6 @@ def main():
         dm = to_device_merged_artifact(artifact)
         session_start_s = time.time() - t_sess
         G = BENCH_GENOMES + 1
-        classify = make_sortjoin_classifier(dm, G)
         log(f"merged artifact: E={artifact.E} NB={artifact.NB} "
             f"max_bucket={artifact.max_bucket} n_colors={artifact.n_colors}; "
             f"session start (lazy load + device put) {session_start_s:.1f}s")
@@ -178,11 +176,6 @@ def main():
             "session_start_s": round(session_start_s, 1),
         }
         genomes = gen_bench_genomes()
-
-    def fn(codes, lengths):
-        out, ovh, ovs = classify(codes, lengths, with_rcounts=True,
-                                 sc_mode=False, uniform_len=100)
-        return out
 
     batch = 8192
     codes, lengths = sample_read_batch(rng, genomes, batch)
@@ -198,12 +191,40 @@ def main():
     def sync(o):
         return np.asarray(o.cnts_u)
 
+    # warmup doubles as the overflow check: the timed batch repeats this
+    # exact batch, so a clean warmup means the steady state is clean too.
+    # On overflow, widen capacity like QuerySession._widen and recompile.
+    from cammiq_tpu.query.sortjoin import make_sortjoin_classifier as _mk
+
+    frac, maxm = 32, 32
     tc = time.time()
-    out = fn(codes_d, lengths_d)
-    sync(out)
+    while True:
+        classify = _mk(dm, G, hit_capacity_frac=frac, maxm=maxm)
+
+        def fn(codes, lengths):
+            out, ovh, ovs = classify(codes, lengths, with_rcounts=True,
+                                     sc_mode=False, uniform_len=100)
+            return out
+
+        out, ovh, ovs = classify(codes_d, lengths_d, with_rcounts=True,
+                                 sc_mode=False, uniform_len=100)
+        sync(out)
+        ovh, ovs = int(np.asarray(ovh)), int(np.asarray(ovs))
+        if not ovh and not ovs:
+            break
+        log(f"capacity overflow (hits={ovh}, slots={ovs}); widening "
+            f"frac {frac}->{max(frac // 2, 1)}" if ovh else
+            f"slot overflow; widening maxm {maxm}->{maxm * 2}")
+        if ovh:
+            frac = max(frac // 2, 1)
+        if ovs:
+            maxm *= 2
+        if frac < 1 or maxm > 4096:
+            raise RuntimeError("capacity overflow persists")
     t_compile = time.time() - tc
     log(f"compile+warmup {t_compile:.1f}s (total elapsed {time.time()-t0:.1f}s)")
     extra["compile_s"] = round(t_compile, 1)
+    extra["frac"], extra["maxm"] = frac, maxm
 
     # steady state: enqueue batches, sync every <=256 iters (each sync
     # bounds the number of in-flight output buffers; the ~25 ms RTT is

@@ -26,8 +26,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CUTS = ["hash", "search", "compact", "bucket", "payload", "collect",
-        "part1", "full"]
+CUTS = ["hash", "filter", "compact", "search", "bucket", "payload",
+        "collect", "part1", "full"]
 
 
 def main():
@@ -36,7 +36,8 @@ def main():
                     default=os.path.join(REPO, "bench_cache/g1000_l300k/merged"))
     ap.add_argument("--repeats", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--join", default="auto", choices=["auto", "sort", "dir"])
+    ap.add_argument("--join", default="auto",
+                    choices=["auto", "sort", "dir", "bloom"])
     ap.add_argument("--cuts", default=",".join(CUTS))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

@@ -26,10 +26,6 @@ from ..utils.timing import Timings, stage_timer
 from .classify import classify_batch
 from .probe import DeviceIndex, to_device_index
 
-# sc-mode pair counts accumulate in a [G+1, G+1] device matrix when the
-# genome count is at most this; beyond it the per-batch host fallback
-# (np.unique on the pair rows) keeps memory bounded
-PAIR_MATRIX_MAX_G = 4096
 
 
 @dataclasses.dataclass
@@ -75,6 +71,11 @@ class QuerySession:
         self.num_entries_u = index_u.num_entries
         self.num_entries_d = index_d.num_entries if index_d is not None else 0
         self._artifact = None
+        self._pair_keys_dev = None
+        self._pair_src = (
+            None if index_d is None or not index_d.num_entries
+            else (np.asarray(index_d.rid1), np.asarray(index_d.rid2))
+        )
         if mesh is not None:
             from ..parallel.dist_query import DistSortJoinSession
 
@@ -140,6 +141,8 @@ class QuerySession:
         self.num_entries_u = artifact.eu
         self.num_entries_d = artifact.ed
         self._artifact = artifact
+        self._pair_keys_dev = None
+        self._pair_src = "artifact" if artifact.ed else None
         if mesh is not None:
             self._index_u = self._index_d = None
             self._dist_sessions = {}
@@ -192,6 +195,43 @@ class QuerySession:
             )
         return self._dist_sessions[key]
 
+    def _pair_keys(self):
+        """Sorted device table (two int32 columns, lex order) of every
+        pair the doubly index can assign: distinct unordered (rid1, rid2)
+        rows.  case_pair always assigns a pair carried by some doubly
+        entry, so a [P+1] accumulator indexed via an on-device binary
+        search replaces the old [G+1, G+1] matrix — bounded memory at ANY
+        genome count and no per-batch host fallback (the reference
+        accumulates the same pairs in a std::map, src/query.cpp:994-997).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self._pair_keys_dev is None:
+            if self._pair_src is None:
+                lo = hi = np.zeros(0, np.int32)
+            else:
+                if self._pair_src == "artifact":
+                    prec = np.asarray(self._artifact.prec)
+                    dd = prec[prec[:, 0] >= self._artifact.eu]
+                    r1 = dd[:, 1].astype(np.int64)
+                    r2 = dd[:, 2].astype(np.int64)
+                else:
+                    r1 = self._pair_src[0].astype(np.int64)
+                    r2 = self._pair_src[1].astype(np.int64)
+                lo = np.minimum(r1, r2)
+                hi = np.maximum(r1, r2)
+                uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+                lo = uniq[:, 0].astype(np.int32)
+                hi = uniq[:, 1].astype(np.int32)
+            pk = (jnp.asarray(lo), jnp.asarray(hi))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                pk = jax.device_put(pk, NamedSharding(self.mesh, P()))
+            self._pair_keys_dev = pk
+        return self._pair_keys_dev
+
     def _widen(self, ovh: int, ovs: int) -> None:
         """Sticky capacity widening after an overflowed pass."""
         if self.engine == "sortjoin-dist":
@@ -216,19 +256,37 @@ class QuerySession:
 
     def _acc_step(self):
         """Jitted donated-buffer accumulator: acc <- acc + batch outputs.
-        The pair matrix (sc mode, small G) scatters on device too."""
+        sc-mode pair counts scatter into the [P+1] pair-table accumulator
+        on device (see _pair_keys)."""
         if self._acc_step_fn is None:
             import jax
             import jax.numpy as jnp
 
-            def step(acc, cu, cd, rcu, rcd, nu, nc, ovh, ovs, plo, phi):
-                pm = acc["pairmat"]
-                if pm.shape[0]:  # static: sc mode with small G
-                    Gp = pm.shape[0]
+            def step(acc, pk_lo, pk_hi, cu, cd, rcu, rcd, nu, nc, ovh, ovs,
+                     plo, phi):
+                pa = acc["pairacc"]
+                if pa.shape[0] > 1:  # static: sc mode with a doubly table
+                    P = pk_lo.shape[0]
                     ok = plo >= 0
-                    r = jnp.where(ok, plo, Gp - 1)
-                    c = jnp.where(ok, phi, Gp - 1)
-                    pm = pm.at[r, c].add(ok.astype(jnp.int32))
+                    qlo = jnp.where(ok, plo, 0)
+                    qhi = jnp.where(ok, phi, 0)
+                    # lower_bound over the lex-sorted (lo, hi) pair table
+                    lo_i = jnp.zeros_like(plo)
+                    hi_i = jnp.full_like(plo, P)
+                    for _ in range(max(int(P).bit_length(), 1)):
+                        active = lo_i < hi_i
+                        mid = (lo_i + hi_i) >> 1
+                        midc = jnp.minimum(mid, P - 1)
+                        kl = pk_lo[midc]
+                        kh = pk_hi[midc]
+                        less = (kl < qlo) | ((kl == qlo) & (kh < qhi))
+                        lo_i = jnp.where(active & less, mid + 1, lo_i)
+                        hi_i = jnp.where(active & ~less, mid, hi_i)
+                    idx = jnp.minimum(lo_i, P - 1)
+                    found = (ok & (lo_i < P)
+                             & (pk_lo[idx] == qlo) & (pk_hi[idx] == qhi))
+                    tgt = jnp.where(found, idx, P)
+                    pa = pa.at[tgt].add(found.astype(jnp.int32))
                 return dict(
                     cnts_u=acc["cnts_u"] + cu.astype(jnp.int32),
                     cnts_d=acc["cnts_d"] + cd.astype(jnp.int32),
@@ -238,7 +296,7 @@ class QuerySession:
                     nconf=acc["nconf"] + nc.astype(jnp.int32),
                     ovh=jnp.maximum(acc["ovh"], ovh.astype(jnp.int32)),
                     ovs=jnp.maximum(acc["ovs"], ovs.astype(jnp.int32)),
-                    pairmat=pm,
+                    pairacc=pa,
                 )
 
             self._acc_step_fn = jax.jit(step, donate_argnums=0)
@@ -251,7 +309,8 @@ class QuerySession:
         import jax.numpy as jnp
 
         G = self.num_genome_slots
-        use_pairmat = sc_mode and G + 1 <= PAIR_MATRIX_MAX_G
+        pair_keys = self._pair_keys() if sc_mode else None
+        n_pairs = int(pair_keys[0].shape[0]) if sc_mode else 0
 
         def _zeros():
             return dict(
@@ -263,8 +322,8 @@ class QuerySession:
                 nconf=jnp.zeros((), jnp.int32),
                 ovh=jnp.zeros((), jnp.int32),
                 ovs=jnp.zeros((), jnp.int32),
-                pairmat=jnp.zeros(
-                    (G + 1, G + 1) if use_pairmat else (0, 0), jnp.int32),
+                pairacc=jnp.zeros(
+                    n_pairs + 1 if sc_mode and n_pairs else 0, jnp.int32),
             )
 
         if self.mesh is not None:
@@ -287,31 +346,22 @@ class QuerySession:
             )
             rcu = out.rcount_u[: self.num_entries_u]
             rcd = out.rcount_d[: self.num_entries_d]
-            acc = step(acc, out.cnts_u, out.cnts_d, rcu, rcd,
+            pk_lo, pk_hi = (pair_keys if n_pairs
+                            else (jnp.zeros(0, jnp.int32),) * 2)
+            acc = step(acc, pk_lo, pk_hi,
+                       out.cnts_u, out.cnts_d, rcu, rcd,
                        out.nundet, out.nconf,
                        jnp.asarray(ovh), jnp.asarray(ovs),
                        out.pair_lo, out.pair_hi)
-            if sc_mode and not use_pairmat:
-                # large-G fallback: host pair dict (syncs per batch)
-                lo = np.asarray(out.pair_lo)
-                hi = np.asarray(out.pair_hi)
-                sel = lo >= 0
-                if sel.any():
-                    pairs, counts = np.unique(
-                        np.stack([lo[sel], hi[sel]], axis=1), axis=0,
-                        return_counts=True,
-                    )
-                    for (a, b), c in zip(pairs, counts):
-                        key = (int(a), int(b))
-                        pair_counts[key] = pair_counts.get(key, 0) + int(c)
         host = jax.device_get(acc)   # the ONE blocking transfer per pass
         if int(host["ovh"]) or int(host["ovs"]):
             self._widen(int(host["ovh"]), int(host["ovs"]))
             return None
-        if use_pairmat:
-            pm = host["pairmat"][:G, :G]
-            for a, b in zip(*np.nonzero(pm)):
-                pair_counts[(int(a), int(b))] = int(pm[a, b])
+        if sc_mode and n_pairs:
+            klo_h, khi_h = jax.device_get(pair_keys)
+            pa = host["pairacc"][:n_pairs]
+            for i in np.nonzero(pa)[0]:
+                pair_counts[(int(klo_h[i]), int(khi_h[i]))] = int(pa[i])
         return host, pair_counts
 
     def run(self, reads: ReadSet, sc_mode: bool = False,

@@ -83,6 +83,61 @@ class MergedIndex:
 
 DIR_BITS = 20  # directory cells (4 MB of int32); ~NB/2^20 rows per cell
 
+BLOOM_LOG_WORDS = 24  # blocked bloom filter: 2^24 uint32 words (64 MB)
+
+
+def _build_bloom(pref_lo: np.ndarray, log_words: int | None = None):
+    """Blocked bloom filter over the bucket hashes: one uint32 word per
+    cell (top `log_words` bits of the key), 3 bit positions from the low
+    key bits.  The hot loop tests membership with ONE gather per probe —
+    ~99.9% of probes are non-matches at production scale, so the
+    dir_span_steps binary-search rounds then run on only the compacted
+    survivors instead of every (read, offset) candidate.
+
+    pref_lo must be sorted ascending (bucket rows are), so equal cells
+    are contiguous and the table builds with one bitwise_or.reduceat.
+    Returns (table, log_words); the table sizes to ~1 word per key
+    (capped at 2^BLOOM_LOG_WORDS = 64 MB)."""
+    keys = np.ascontiguousarray(pref_lo, np.uint32)
+    if log_words is None:
+        log_words = min(max(int(max(keys.shape[0], 1)).bit_length(), 12),
+                        BLOOM_LOG_WORDS)
+    table = np.zeros(1 << log_words, np.uint32)
+    if keys.shape[0]:
+        w = (keys >> np.uint32(32 - log_words)).astype(np.int64)
+        bits = _bloom_bits(keys, np)
+        starts = np.nonzero(np.concatenate([[True], w[1:] != w[:-1]]))[0]
+        table[w[starts]] = np.bitwise_or.reduceat(bits, starts)
+    return table, log_words
+
+
+def _bloom_bits(key, xp):
+    """3-bit mask for a key: positions from a MULTIPLICATIVE remix of the
+    full 32-bit key, taken from the product's upper half — the word index
+    is the key's top bits, so positions derived from raw low-bit fields
+    would be partially determined by the word and collapse the filter's
+    discrimination within a word (measured 2% FP vs the intended ~0.06%).
+    """
+    with np.errstate(over="ignore"):
+        z = key * xp.uint32(0x9E3779B1)
+    return (
+        (xp.uint32(1) << ((z >> xp.uint32(16)) & xp.uint32(31)))
+        | (xp.uint32(1) << ((z >> xp.uint32(21)) & xp.uint32(31)))
+        | (xp.uint32(1) << ((z >> xp.uint32(26)) & xp.uint32(31)))
+    )
+
+
+def _bloom_kwargs(pref_lo: np.ndarray, jnp):
+    table, lw = _build_bloom(np.asarray(pref_lo))
+    return {"bloom": jnp.asarray(table), "bloom_log": lw}
+
+
+def _bloom_maybe(bloom, khlo, log_words: int, xp):
+    """Membership test: (word & need) == need; no false negatives."""
+    word = bloom[(khlo >> xp.uint32(32 - log_words)).astype(xp.int32)]
+    need = _bloom_bits(khlo, xp)
+    return (word & need) == need
+
 
 def _build_directory(pref_lo: np.ndarray, db: int | None = None):
     """(dir_start, dir_bits, span_steps) over the sorted bucket hashes."""
@@ -400,15 +455,18 @@ class DeviceMergedIndex:
     erec: Any = None
     brec: Any = None
     prec: Any = None
+    # blocked bloom filter over pref_lo (one-gather probe prefilter)
+    bloom: Any = None
+    bloom_log: int = 0
 
 
 # array fields passed into the jitted classifier as ARGUMENTS (a closure
 # capture would bake gigabytes of index into the executable as constants)
 _DM_ARRAYS = ("key_words", "length", "rid1", "rid2", "gid", "color",
               "pref_lo", "pref_hi", "bucket_start", "bucket_count",
-              "dir_start", "erec", "brec", "prec")
+              "dir_start", "erec", "brec", "prec", "bloom")
 _DM_STATIC = ("h", "kw", "eu", "ed", "max_bucket", "n_colors", "dir_bits",
-              "dir_span_steps")
+              "dir_span_steps", "bloom_log")
 
 NEVER_LEN = 0xFFFF  # erec length field for oversize/pad entries
 
@@ -446,6 +504,7 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
         dir_bits=m.dir_bits, dir_span_steps=m.dir_span_steps,
         erec=jnp.asarray(erec), brec=jnp.asarray(brec),
         prec=jnp.asarray(prec),
+        **_bloom_kwargs(m.pref_lo, jnp),
     )
 
 
@@ -454,16 +513,18 @@ def to_device_merged_artifact(a) -> DeviceMergedIndex:
     transfers, nothing recomputed (the artifact stores the fused records)."""
     import jax.numpy as jnp
 
-    ds, db, steps = _build_directory(np.asarray(a.pref_lo))
+    plo = np.asarray(a.pref_lo)
+    ds, db, steps = _build_directory(plo)
     return DeviceMergedIndex(
         h=a.h, kw=a.kw, eu=a.eu, ed=a.ed, max_bucket=a.max_bucket,
         n_colors=a.n_colors,
-        pref_lo=jnp.asarray(np.asarray(a.pref_lo)),
+        pref_lo=jnp.asarray(plo),
         pref_hi=jnp.asarray(np.asarray(a.pref_hi)),
         dir_start=jnp.asarray(ds), dir_bits=db, dir_span_steps=steps,
         erec=jnp.asarray(np.asarray(a.erec)),
         brec=jnp.asarray(np.asarray(a.brec)),
         prec=jnp.asarray(np.asarray(a.prec)),
+        **_bloom_kwargs(plo, jnp),
     )
 
 
@@ -508,13 +569,16 @@ def collect_matches_sortjoin(
     return_compact: additionally return the compacted distinct match rows
     (read_id, gid, distinct mask; n_colors*K each) so rcounts can be
     scattered at match granularity (~hits) instead of B*maxm slots.
-    join: 'auto' (directory when NB > 4N), 'sort', or 'dir'.
+    join: 'auto' (bloom-prefiltered directory when NB > 4N), 'bloom',
+    'dir' (directory binary search at full N, no bloom), or 'sort'.
     cut: profiling hook - return early (a tiny reduction of the live
     intermediates, so nothing downstream is built) after the named stage:
-    'hash' (probe words + prefix hashes), 'search' (join/dir search),
-    'compact' (hit compaction sort), 'bucket' (bucket scan), 'payload'
-    (match payload gathers).  The traced program is the production
-    program's prefix, so cut-to-cut deltas are true per-stage costs.
+    'hash' (probe words + prefix hashes), 'filter' (bloom membership,
+    bloom path only), 'search' (join/dir search), 'compact' (hit
+    compaction sort), 'bucket' (bucket scan), 'payload' (match payload
+    gathers).  The traced program is the production program's prefix, so
+    cut-to-cut deltas are true per-stage costs (bloom-path stage order is
+    hash, filter, compact, search).
     """
     import jax
     import jax.numpy as jnp
@@ -564,10 +628,59 @@ def collect_matches_sortjoin(
     if cut == "hash":
         return _cut_out(p16s, khlo, khhi)
     BIGOFF = jnp.int32(1 << 30)
-    use_dir = dm.dir_start is not None and (
+    use_bloom = dm.bloom is not None and dm.dir_start is not None and (
+        join == "bloom" or (join == "auto" and NB > 4 * N)
+    )
+    use_dir = not use_bloom and dm.dir_start is not None and (
         join == "dir" or (join == "auto" and NB > 4 * N)
     )
-    if use_dir:
+    if use_bloom:
+        # ---- bloom-prefiltered directory join (large-index regime).  The
+        # dir path's weakness is dir_span_steps DEPENDENT gather rounds at
+        # ALL N candidates; but ~99% of candidates match nothing.  One
+        # blocked-bloom gather per candidate (no false negatives) filters
+        # first; candidates compact to K; the binary search then runs on K
+        # rows only.  A bloom false positive (~0.1%) survives compaction
+        # with ccnt forced to 0, so it can never produce a match — it only
+        # costs a compaction slot, covered by the overflow accounting.
+        maybe = _bloom_maybe(dm.bloom, khlo, dm.bloom_log, jnp)
+        probe_hit = maybe
+        if cut == "filter":
+            return _cut_out(maybe)
+        K = min(max(N // hit_capacity_frac, 256), N)
+        rows = jnp.arange(N, dtype=jnp.int32)
+        fkey = jnp.where(maybe, rows, rows + BIGOFF)
+        skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K]
+        cv = skey < BIGOFF
+        cpos = jnp.where(cv, skey, -1)
+        if cut == "compact":
+            return _cut_out(cv, cpos)
+        # exact membership: directory + binary search on the K survivors
+        ck = khlo[jnp.maximum(cpos, 0)]
+        db = dm.dir_bits
+        top = (ck >> jnp.uint32(32 - db)).astype(jnp.int32)
+        blo = dm.dir_start[top]
+        bhi = dm.dir_start[top + 1]
+
+        def bs_body_k(_, lh):
+            lo, hi2 = lh
+            active = lo < hi2
+            mid = (lo + hi2) >> 1
+            v = dm.pref_lo[jnp.clip(mid, 0, NB - 1)]
+            less = v < ck
+            nlo = jnp.where(less, mid + 1, lo)
+            nhi = jnp.where(less, hi2, mid)
+            return (jnp.where(active, nlo, lo), jnp.where(active, nhi, hi2))
+
+        blo, bhi = jax.lax.fori_loop(0, dm.dir_span_steps, bs_body_k, (blo, bhi))
+        found_row = jnp.minimum(blo, NB - 1)
+        real = cv & (blo < NB) & (dm.pref_lo[found_row] == ck)
+        cv = real
+        cpos = jnp.where(real, cpos, -1)
+        cbid = found_row
+        if cut == "search":
+            return _cut_out(real, found_row)
+    elif use_dir:
         # ---- directory + binary-search join (large-index regime).  When
         # the bucket list dwarfs the probe list, sorting NB+N rows per
         # batch pays NB log(NB) for static data; instead the top dir_bits

@@ -134,6 +134,33 @@ def test_dir_join_matches_sort_join():
     np.testing.assert_array_equal(np.asarray(a.in_u), np.asarray(b.in_u))
 
 
+def test_bloom_join_matches_sort_join():
+    """The bloom-prefiltered directory join (production large-index path)
+    must produce exactly the same matches as the 2-operand sort join and
+    the pure directory join."""
+    import jax.numpy as jnp
+
+    from dist_fixture import make_dist_fixture
+    from cammiq_tpu.query.sortjoin import (
+        build_merged_index, collect_matches_sortjoin, to_device_merged,
+    )
+
+    art, rs, G = make_dist_fixture(seed=13)
+    dm = to_device_merged(build_merged_index(art.unique_index, art.doubly_index))
+    assert dm.bloom is not None
+    codes = jnp.asarray(rs.codes)
+    lengths = jnp.asarray(rs.lengths)
+    a, ovh_a, _ = collect_matches_sortjoin(dm, codes, lengths, join="sort",
+                                           hit_capacity_frac=1)
+    b, ovh_b, _ = collect_matches_sortjoin(dm, codes, lengths, join="bloom",
+                                           hit_capacity_frac=1)
+    assert int(ovh_a) == 0 and int(ovh_b) == 0
+    np.testing.assert_array_equal(np.asarray(a.slots), np.asarray(b.slots))
+    np.testing.assert_array_equal(np.asarray(a.rid1), np.asarray(b.rid1))
+    np.testing.assert_array_equal(np.asarray(a.rid2), np.asarray(b.rid2))
+    np.testing.assert_array_equal(np.asarray(a.in_u), np.asarray(b.in_u))
+
+
 @pytest.mark.parametrize("sc", [False, True])
 def test_expanded_bucket_scan_matches_baseline(setup, sc, monkeypatch):
     """Force the segment-expanded bucket scan (the production path when
