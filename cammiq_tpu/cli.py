@@ -40,6 +40,7 @@ def parse_args(argv: List[str]) -> dict:
         "ilp_alpha": -1.0, "max_cov": -1.0,
         "u_thres": -1.0, "d_thres": -1.0,
         "engine": "auto", "profile": "", "model_shards": 1,
+        "build_hosts": 0,
         "ilp_time_limit": 10800.0, "ilp_enum_cap": 8, "merged": "",
         "exact_sa": False,
     }
@@ -108,6 +109,9 @@ def parse_args(argv: List[str]) -> dict:
         elif v == "--model_shards":
             i += 1
             a["model_shards"] = int(argv[i])
+        elif v == "--build_hosts":
+            i += 1
+            a["build_hosts"] = int(argv[i])
         elif v == "--profile":
             i += 1
             a["profile"] = argv[i]
@@ -199,7 +203,8 @@ def run_build(a: dict) -> None:
         f"****************************",
         file=sys.stderr,
     )
-    art = build_index(corpus, cfg, engine=a["engine"], verbose=True)
+    art = build_index(corpus, cfg, engine=a["engine"], verbose=True,
+                      sa_hosts=a.get("build_hosts", 0))
     outdir = os.path.dirname(a["fi_u"]) or "."
     from .index.builder import write_meta_outputs
     from .index.table import save_flat_index

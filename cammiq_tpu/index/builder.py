@@ -78,6 +78,7 @@ def build_index(
     engine: str = "auto",
     verbose: bool = False,
     stage_dir: Optional[str] = None,
+    sa_hosts: int = 0,
 ) -> BuildArtifacts:
     """Run the full build pipeline.
 
@@ -85,6 +86,9 @@ def build_index(
     or 'jax' (SA/LCP/LCP0/MU/OCC on device).
     stage_dir: optional directory for disk staging of the SA/LCP stages
     (resume support + RAM relief, the reference's gsa.bin/lcp.bin spills).
+    sa_hosts: > 1 shards the bounded suffix sort into that many corpus
+    slices sorted in separate processes and merged on bounded keys
+    (parallel/dist_build.py) — the cross-host construction path.
     """
     timings = Timings()
     if engine == "auto":
@@ -117,8 +121,15 @@ def build_index(
             # depth-bounded suffix sort: exact for every consumer that
             # thresholds LCPs at <= L+2 (all of them); parallel, one
             # counting-sort pass + per-bucket bounded sorts
-            sa = staged(store, f"bsa{cfg.sa_depth}",
-                        lambda: native.bounded_sa(corpus.seq, cfg.sa_depth))
+            if sa_hosts > 1:
+                from ..parallel.dist_build import dist_bounded_sa
+
+                sa = staged(store, f"bsa{cfg.sa_depth}_h{sa_hosts}",
+                            lambda: dist_bounded_sa(corpus.seq, cfg.sa_depth,
+                                                    sa_hosts))
+            else:
+                sa = staged(store, f"bsa{cfg.sa_depth}",
+                            lambda: native.bounded_sa(corpus.seq, cfg.sa_depth))
         else:
             sa = staged(store, "sa",
                         lambda: _suffix_array(corpus.seq, engine)[:n])

@@ -203,7 +203,8 @@ def build_problem(
 def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
                 penalty: float = 1.0, tol: float = 1e-7,
                 time_limit: float = 10800.0, enum_cap: int = 8,
-                enum_iters: int = 400,
+                enum_iters: int = 400, bnb_cap: int = 24,
+                bnb_nodes: int = 512,
                 verbose: bool = False) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Solve the reference MIQP (src/query.cpp:1082-1298) TPU-natively.
 
@@ -223,7 +224,13 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
        block-coordinate descent over subsets: the incumbent assignment is
        one of the 2**m subsets of every window, so the best score never
        regresses).  Infeasible subsets are rejected by an exact-penalty
-       score;
+       score.  When enum_cap < n_free <= bnb_cap, an EXACT depth-first
+       branch-and-bound then certifies/improves the window incumbent:
+       each node's bound is the convex relaxation (the (0, 0.01) hole
+       removed for undecided candidates only), nodes whose relaxed
+       optimum lands outside every hole terminate integrally, and the
+       tree completing within bnb_nodes proves optimality to solver
+       tolerance (the CPLEX/Gurobi B&B role, src/query.cpp:1239-1260);
     3. a final polish solve at the winning bounds (top candidates of each
        round are polished to convergence before scoring).
 
@@ -480,6 +487,7 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
     best_x = x
     best_ub_full = np.where(forced, prob.ub, 0.0)
     rounds_used = 0
+    stopped_by = "sweep" if n_free <= enum_cap else "round_budget"
     for _round in range(max_rounds):
         rounds_used += 1
         # window: undecided-yet-unseen candidates first, then most ambiguous
@@ -515,10 +523,79 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
         changed = bool((decisions[win] != new_dec).any())
         decisions[win] = new_dec
         seen[win] = True
-        if (not changed and seen.all()) or (
-            time.perf_counter() - t0 > time_limit
-        ):
+        if not changed and seen.all():
+            if n_free > enum_cap:
+                stopped_by = "stability"
             break
+        if time.perf_counter() - t0 > time_limit:
+            stopped_by = "time_limit"
+            break
+
+    # ---- stage 2b: exact B&B over the free EXIST booleans ----
+    bnb_complete = False
+    if enum_cap < n_free <= bnb_cap and stopped_by != "time_limit":
+        incumbent = float(penalty_score(jnp.asarray(best_x), 1e-6))
+        base_lb = np.where(forced, np.maximum(prob.lb, 0.01), 0.0)
+        base_ub_f = np.where(forced, prob.ub, 0.0)
+        # stack of status vectors over free_idx: -1 undecided, 0 out, 1 in
+        stack = [np.full(n_free, -1, np.int8)]
+        nodes = 0
+        bnb_complete = True
+        margin = 1e-9
+        while stack:
+            if nodes >= bnb_nodes or time.perf_counter() - t0 > time_limit:
+                bnb_complete = False
+                stopped_by = ("bnb_node_cap" if nodes >= bnb_nodes
+                              else "time_limit")
+                break
+            nodes += 1
+            st = stack.pop()
+            lbv = base_lb.copy()
+            ubv = base_ub_f.copy()
+            inn = free_idx[st == 1]
+            und = free_idx[st == -1]
+            lbv[inn] = 0.01
+            ubv[inn] = prob.ub[inn]
+            ubv[und] = prob.ub[und]   # hole relaxed: lb stays 0
+            lbj, ubj = jnp.asarray(lbv), jnp.asarray(ubv)
+            xr, _lc, _ = run_to_convergence(
+                jnp.clip(jnp.asarray(xh), lbj, ubj), jnp.zeros(C2),
+                lbj, ubj, max(outer // 2, 2))
+            sc = float(penalty_score(xr, 1e-6))
+            # the relaxation only enlarges the feasible set, so sc lower-
+            # bounds every completion (to solver tolerance)
+            if sc >= incumbent - margin:
+                continue
+            xrn = np.asarray(xr)
+            uv = xrn[und]
+            hole = (uv > 1e-9) & (uv < 0.01 - 1e-9)
+            if not hole.any():
+                # relaxed optimum is integral w.r.t. the EXIST holes:
+                # it IS the node's exact optimum — new incumbent
+                incumbent = sc
+                best_x = xr
+                best_ub_full = np.where(
+                    np.asarray(xrn) >= 0.009, ubv, 0.0)
+                continue
+            ji = int(np.argmax(np.minimum(uv, 0.01 - uv) * hole))
+            j = int(np.nonzero(free_idx == und[ji])[0][0])
+            st_in = st.copy()
+            st_in[j] = 1
+            st_out = st.copy()
+            st_out[j] = 0
+            # explore the branch the relaxed value leans toward FIRST
+            if uv[ji] >= 0.005:
+                stack.extend([st_out, st_in])
+            else:
+                stack.extend([st_in, st_out])
+        if bnb_complete:
+            stopped_by = "bnb"
+        xh = np.asarray(best_x)
+        if verbose:
+            import sys
+
+            print(f"[quant] B&B: {nodes} nodes, complete={bnb_complete}, "
+                  f"incumbent={incumbent:.6g}", file=sys.stderr)
 
     exist = best_ub_full > 0
     cov = np.where(exist, np.clip(xh, 0.01, None), 0.0)
@@ -534,7 +611,20 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
         "enum_size": S,
         "enum_rounds": rounds_used,
         "chunks_used": chunks_used,
+        # exhaustive = every EXIST subset swept in one window, or the
+        # exact B&B tree completed; otherwise the block-coordinate window
+        # descent is monotone but heuristic
+        "exhaustive": n_free <= enum_cap or bnb_complete,
+        "stopped_by": stopped_by,
     }
+    if not info["exhaustive"]:
+        import warnings
+
+        warnings.warn(
+            f"quant: {n_free} free EXIST candidates exceed enum_cap="
+            f"{enum_cap} and the exact B&B did not complete (stopped by "
+            f"{stopped_by}); the selection is locally optimal but not "
+            f"proven exact (raise --ilp_enum_cap or bnb_nodes)")
     if verbose:
         # solver log, the --enable_ilp_display analog
         # (reference: cplex.setOut unless debug, src/query.cpp:1262-1263)

@@ -274,15 +274,19 @@ def shard_merged_cuts(src: _MergedSource, mp: int):
     e_hi = e_lo[1:] + [E]
     e_pad = max(1, max(h - l for l, h in zip(e_lo, e_hi)))
     db = max(8, min(20, max(int(nb_pad).bit_length() - 5, 8)))
-    return cuts_b, e_lo, e_hi, e_pad, nb_pad, db
+    # per-shard blocked bloom (see sortjoin._build_bloom); the log size is
+    # shared across shards — it is baked into the jitted program
+    bloom_log = min(max(int(nb_pad).bit_length(), 12), 24)
+    return cuts_b, e_lo, e_hi, e_pad, nb_pad, db, bloom_log
 
 
 def build_fused_shard(src: _MergedSource, i: int, cuts_b, e_lo, e_hi,
-                      e_pad: int, nb_pad: int, db: int):
+                      e_pad: int, nb_pad: int, db: int,
+                      bloom_log: int | None = None):
     """Materialize shard i's padded fused-record arrays (one host slice
     per array - with a memmap source this faults in only shard i's pages).
     Returns (dict of arrays, dir span steps)."""
-    from ..query.sortjoin import NEVER_LEN, _build_directory
+    from ..query.sortjoin import NEVER_LEN, _build_bloom, _build_directory
 
     kw1 = src.erec.shape[1]
     erec = np.zeros((e_pad, kw1), np.uint32)
@@ -303,11 +307,13 @@ def build_fused_shard(src: _MergedSource, i: int, cuts_b, e_lo, e_hi,
         brec[:bc, 0] = np.asarray(src.bucket_start[blo:bhi], np.int64) - lo
         brec[:bc, 1] = src.bucket_count[blo:bhi]
     ds, _, steps = _build_directory(pref_lo, db=db)
-    return (
-        dict(erec=erec, prec=prec, pref_lo=pref_lo, pref_hi=pref_hi,
-             brec=brec, dir_start=ds.astype(np.int32)),
-        steps,
-    )
+    out = dict(erec=erec, prec=prec, pref_lo=pref_lo, pref_hi=pref_hi,
+               brec=brec, dir_start=ds.astype(np.int32))
+    if bloom_log is not None:
+        # pads (0xFFFFFFFF rows) enter the filter too: a probe matching a
+        # pad can only be a false positive, and pads carry a (0, 0) span
+        out["bloom"] = _build_bloom(pref_lo, log_words=bloom_log)[0]
+    return out, steps
 
 
 def _shard_dir_steps(pl_slice: np.ndarray, nb_pad: int, db: int) -> int:
@@ -373,7 +379,8 @@ class DistSortJoinSession:
         else:                                   # prebuilt MergedIndex
             src = _MergedSource.from_merged(merged)
         self.eu, self.ed = src.eu, src.ed
-        cuts_b, e_lo, e_hi, e_pad, nb_pad, db = shard_merged_cuts(src, mp)
+        (cuts_b, e_lo, e_hi, e_pad, nb_pad, db,
+         bloom_log) = shard_merged_cuts(src, mp)
         # span steps must be a process-independent static (it is baked into
         # the jitted program): derive every shard's from its pref_lo slice
         span_steps = 1
@@ -381,7 +388,7 @@ class DistSortJoinSession:
             span_steps = max(span_steps, _shard_dir_steps(
                 src.pref_lo[cuts_b[i]:cuts_b[i + 1]], nb_pad, db))
         self._meta = (src.h, src.kw, src.max_bucket, src.n_colors, db,
-                      span_steps)
+                      span_steps, bloom_log)
         self._fns = {}
         self._maxm = maxm
         self._frac = hit_capacity_frac
@@ -405,13 +412,15 @@ class DistSortJoinSession:
             "pref_hi": ((mp, nb_pad), np.uint32),
             "brec": ((mp, nb_pad, 2), np.int32),
             "dir_start": ((mp, (1 << db) + 1), np.int32),
+            "bloom": ((mp, 1 << bloom_log), np.uint32),
         }
         cache: dict = {}
 
         def get_shard(i: int) -> dict:
             if i not in cache:
                 cache[i] = build_fused_shard(
-                    src, i, cuts_b, e_lo, e_hi, e_pad, nb_pad, db)[0]
+                    src, i, cuts_b, e_lo, e_hi, e_pad, nb_pad, db,
+                    bloom_log=bloom_log)[0]
             return cache[i]
 
         def make(name, shape, dtype):
@@ -436,7 +445,7 @@ class DistSortJoinSession:
         from ..query.classify import MatchSlots, case_analysis, rcounts_from_case
         from ..query.sortjoin import DeviceMergedIndex, collect_matches_sortjoin
 
-        h, kw, max_bucket, n_colors, db, span_steps = self._meta
+        h, kw, max_bucket, n_colors, db, span_steps, bloom_log = self._meta
         eu, ed, mp, G, sc = self.eu, self.ed, self.mp, self.G, self.sc
 
         def local_fn(sh, codes, lengths):
@@ -447,6 +456,7 @@ class DistSortJoinSession:
                 dir_start=sh["dir_start"][0], dir_bits=db,
                 dir_span_steps=span_steps,
                 erec=sh["erec"][0], brec=sh["brec"][0], prec=sh["prec"][0],
+                bloom=sh["bloom"][0], bloom_log=bloom_log,
             )
             ms, ovh, ovs = collect_matches_sortjoin(
                 dmi, codes, lengths, hit_capacity_frac=frac, maxm=maxm)

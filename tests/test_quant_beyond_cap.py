@@ -63,6 +63,50 @@ def test_quant_beyond_enum_cap():
     assert validated == 5, f"only {validated} beyond-cap instances found"
 
 
+def test_quant_bnb_matches_oracle():
+    """The exact B&B stage (enum_cap < n_free <= bnb_cap) must land on
+    the brute-force MIQP oracle optimum: enum_cap=4 forces every
+    beyond-cap instance through the B&B tree."""
+    validated = 0
+    seed = 0
+    while validated < 4 and seed < 40:
+        rng = np.random.default_rng(91_000 + seed)
+        seed += 1
+        inst = make_instance(rng, n_sp=11, per_genome_u=3, n_d=12)
+        prob = build_problem(
+            inst["index_u"], inst["index_d"], inst["rcount_u"],
+            inst["rcount_d"], inst["cnts_u"], inst["cnts_d"], inst["nus"],
+            inst["nds"], inst["glength"], inst["rl"], inst["num_reads"],
+            inst["erate"], inst["fine"],
+        )
+        n_free = int((prob.exist0 & ~(prob.lb > 0)).sum())
+        if n_free <= 4:
+            continue
+        exist, cov, info = solve_quant(prob, iters=1800, outer=6,
+                                       enum_cap=4, enum_iters=400)
+        assert info["exhaustive"], info
+        assert info["stopped_by"] == "bnb"
+        osel, ocov, oobj = oracle_miqp(
+            inst["index_u"], inst["index_d"], inst["rcount_u"],
+            inst["rcount_d"], inst["cnts_u"], inst["cnts_d"], inst["nus"],
+            inst["nds"], inst["glength"], inst["rl"], inst["num_reads"],
+            inst["erate"], inst["fine"],
+        )
+        assert np.isfinite(oobj)
+        ours = set(np.nonzero(exist)[0].tolist())
+        best = set(np.nonzero(osel)[0].tolist())
+        if ours != best:
+            assert info["objective"] <= oobj * (1 + 1e-4) + 1e-9, (
+                f"seed {seed - 1}: set {ours} vs oracle {best}, "
+                f"obj {info['objective']:.6g} vs {oobj:.6g}"
+            )
+        else:
+            l1 = float(np.abs(cov - ocov).sum())
+            assert l1 <= 1e-3 * max(1.0, float(np.abs(ocov).sum()))
+        validated += 1
+    assert validated == 4, f"only {validated} B&B instances found"
+
+
 def _brute_min_cover(edges, selectable):
     verts = sorted({v for e in edges for v in e if v in selectable})
     best = None
