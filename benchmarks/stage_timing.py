@@ -126,12 +126,9 @@ def main():
         is_start = jnp.concatenate(
             [jnp.ones(1, bool), (sw1[1:] != sw1[:-1]) | (srun[1:] != srun[:-1])])
         has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
-        from cammiq_tpu.ops.pallas_scan import first_of_run_scan_pallas
-
-        if jax.default_backend() != "cpu":
-            pbid, ptab = first_of_run_scan_pallas(is_start, sval, has_tab)
-        else:
-            pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
+        # pallas scan kernel deleted in round 4 (see sortjoin.py decision
+        # note + benchmarks/pallas_repro.py); the XLA scan is the design
+        pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
         probe_hit = (stag == 1) & (ptab > 0)
         return p16s, sval, pbid, probe_hit
 

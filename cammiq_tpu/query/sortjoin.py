@@ -748,29 +748,17 @@ def collect_matches_sortjoin(
             [jnp.ones(1, bool),
              (sw1[1:] != sw1[:-1]) | (srun[1:] != srun[:-1])]
         )
-        # first-of-run is the table row iff the bucket exists (tag first)
+        # first-of-run is the table row iff the bucket exists (tag first).
+        # Design decision (round 4): the first-of-run propagation is the
+        # XLA associative scan, full stop.  A pallas single-pass kernel
+        # existed through round 3 but (a) never completed on this backend
+        # even standalone (benchmarks/pallas_repro.py is the minimal
+        # repro) and (b) the production path no longer contains a large
+        # scan at all — the bloom-prefiltered directory join replaced the
+        # sort join at production NB, and the remaining scans are
+        # K-sized.  The kernel was deleted rather than shipped dormant.
         has_tab = jnp.where(is_start, (stag == 0).astype(jnp.int32), 0)
-        import os
-
-        # default OFF: embedded in this program the pallas kernel never
-        # completes on the axon TPU tunnel (standalone it runs, but the
-        # fused program hangs at any index size; the XLA associative scan
-        # measures 943K reads/s/chip honest-sync at E=329K).  Opt back in
-        # with CAMMIQ_PALLAS_SCAN=1 on platforms where it is validated.
-        use_pallas = os.environ.get("CAMMIQ_PALLAS_SCAN", "0")
-        if use_pallas not in ("", "0", "1"):
-            import warnings
-
-            warnings.warn(
-                f"CAMMIQ_PALLAS_SCAN={use_pallas!r} is not recognized "
-                "(use '1' to enable or '0'/unset to disable); the pallas "
-                "scan stays DISABLED")
-        if use_pallas == "1":
-            from ..ops.pallas_scan import first_of_run_scan_pallas
-
-            pbid, ptab = first_of_run_scan_pallas(is_start, sval, has_tab)
-        else:
-            pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
+        pbid, ptab = _first_of_run_scan(is_start, sval, has_tab)
         probe_hit = (stag == 1) & (ptab > 0)
         if cut == "search":
             return _cut_out(probe_hit, pbid)
