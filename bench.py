@@ -196,7 +196,7 @@ def main():
     # On overflow, widen capacity like QuerySession._widen and recompile.
     from cammiq_tpu.query.sortjoin import make_sortjoin_classifier as _mk
 
-    frac, maxm = 32, 32
+    frac, maxm = 32, 16   # pipeline defaults; warmup widens on overflow
     tc = time.time()
     while True:
         classify = _mk(dm, G, hit_capacity_frac=frac, maxm=maxm)

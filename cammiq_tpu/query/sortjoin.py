@@ -17,12 +17,19 @@ sort-merge join, TPU's fastest primitive:
    bucket scan keeps one found-slot per color.  Bucket entry spans are
    keyed by the 32-bit primary hash, so prefixes that collide share a
    span and the verify stage separates them;
-2. per batch, all probe prefix hashes (fwd strand x offsets) are
-   concatenated with the bucket hashes and sorted together (lax.sort on
-   just TWO fused words: primary hash | (secondary hash, tag, row id));
-   a first-of-run associative scan propagates each bucket row onto the
-   probe rows with an equal hash - zero gathers, and no probe that
-   matches an entry can miss its bucket;
+2. per batch the probes join the bucket list by one of three exact
+   strategies (join='auto' picks by regime):
+   - PRODUCTION (NB > 4N, 'bloom'): one blocked-bloom gather per probe
+     (no false negatives) filters the ~99% non-matching probes; the
+     survivors compact to K and a directory binary search runs on K
+     rows only.  This is the r4 redesign that took the production index
+     from 102K to 773K reads/s/chip (see PERF.md);
+   - 'dir': directory + binary search at full N (the r3 design, kept as
+     an equality-tested fallback);
+   - small-index ('sort'): probe hashes and bucket hashes sorted
+     together (lax.sort on TWO fused words: primary hash | (secondary
+     hash, tag, row id)); a first-of-run associative scan propagates
+     each bucket row onto its probe rows - zero gathers;
 3. probe rows that joined a bucket are compacted to a fixed capacity K,
    so the masked-compare bucket scan does its gathers on ~hit-rate * N
    positions instead of N;
@@ -81,7 +88,12 @@ class MergedIndex:
     dir_span_steps: int = 0        # binary-search rounds within a cell
 
 
-DIR_BITS = 20  # directory cells (4 MB of int32); ~NB/2^20 rows per cell
+# directory cells (4 MB of int32 at the cap); ~NB/2^20 rows per cell.
+# Measured (r4, stage_cuts at production NB): raising the cap to 24 bits
+# (64 MB table, 7->5 search rounds) made the search stage 3.5x SLOWER —
+# per-element gather cost into the larger operand dwarfs the two saved
+# rounds on this chip.  Keep the directory small.
+DIR_BITS = 20
 
 BLOOM_LOG_WORDS = 24  # blocked bloom filter: 2^24 uint32 words (64 MB)
 
