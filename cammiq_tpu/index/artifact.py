@@ -88,6 +88,12 @@ def save_merged_artifact(m, index_u, index_d, path: str) -> None:
     _write(os.path.join(path, "pref_lo.npy"), m.pref_lo.astype(np.uint32))
     _write(os.path.join(path, "pref_hi.npy"), m.pref_hi.astype(np.uint32))
     _write(os.path.join(path, "brec.npy"), brec.astype(np.int32))
+    # precomputed bloom filter (query/sortjoin.py): sessions memmap it
+    # instead of re-deriving from pref_lo at every start
+    from ..query.sortjoin import _build_bloom
+
+    bloom, bloom_log = _build_bloom(m.pref_lo.astype(np.uint32))
+    _write(os.path.join(path, "bloom.npy"), bloom)
 
     def cat(fu, fd):
         a = fu(index_u) if index_u is not None else np.zeros(0, np.int32)
@@ -104,6 +110,7 @@ def save_merged_artifact(m, index_u, index_d, path: str) -> None:
         "h": int(m.h), "kw": int(m.kw), "eu": int(m.eu), "ed": int(m.ed),
         "max_bucket": int(m.max_bucket), "n_colors": int(m.n_colors),
         "E": int(m.length.shape[0]), "NB": int(m.pref_lo.shape[0]),
+        "bloom_log": int(bloom_log),
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -127,6 +134,8 @@ class MergedArtifact:
     pref_lo: np.ndarray    # memmap uint32 [NB]
     pref_hi: np.ndarray    # memmap uint32 [NB]
     brec: np.ndarray       # memmap int32 [NB, 2]
+    bloom: Optional[np.ndarray] = None   # memmap uint32 [2^bloom_log]
+    bloom_log: int = 0
 
     def payloads(self) -> Tuple[EntryPayloads, Optional[EntryPayloads]]:
         """(unique, doubly-or-None) original-order payload tables."""
@@ -177,6 +186,8 @@ def load_merged_artifact(path: str) -> MergedArtifact:
     def mm(name):
         return np.load(os.path.join(path, f"{name}.npy"), mmap_mode="r")
 
+    has_bloom = (meta.get("bloom_log", 0)
+                 and os.path.exists(os.path.join(path, "bloom.npy")))
     return MergedArtifact(
         path=path,
         h=meta["h"], kw=meta["kw"], eu=meta["eu"], ed=meta["ed"],
@@ -184,6 +195,8 @@ def load_merged_artifact(path: str) -> MergedArtifact:
         E=meta["E"], NB=meta["NB"],
         erec=mm("erec"), prec=mm("prec"),
         pref_lo=mm("pref_lo"), pref_hi=mm("pref_hi"), brec=mm("brec"),
+        bloom=mm("bloom") if has_bloom else None,
+        bloom_log=meta.get("bloom_log", 0) if has_bloom else 0,
     )
 
 

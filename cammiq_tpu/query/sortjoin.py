@@ -527,6 +527,11 @@ def to_device_merged_artifact(a) -> DeviceMergedIndex:
 
     plo = np.asarray(a.pref_lo)
     ds, db, steps = _build_directory(plo)
+    if getattr(a, "bloom", None) is not None:
+        bkw = {"bloom": jnp.asarray(np.asarray(a.bloom)),
+               "bloom_log": a.bloom_log}
+    else:  # pre-r4 artifact: derive the filter from the bucket hashes
+        bkw = _bloom_kwargs(plo, jnp)
     return DeviceMergedIndex(
         h=a.h, kw=a.kw, eu=a.eu, ed=a.ed, max_bucket=a.max_bucket,
         n_colors=a.n_colors,
@@ -536,7 +541,7 @@ def to_device_merged_artifact(a) -> DeviceMergedIndex:
         erec=jnp.asarray(np.asarray(a.erec)),
         brec=jnp.asarray(np.asarray(a.brec)),
         prec=jnp.asarray(np.asarray(a.prec)),
-        **_bloom_kwargs(plo, jnp),
+        **bkw,
     )
 
 
