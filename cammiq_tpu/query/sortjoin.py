@@ -95,7 +95,11 @@ class MergedIndex:
 # rounds on this chip.  Keep the directory small.
 DIR_BITS = 20
 
-BLOOM_LOG_WORDS = 24  # blocked bloom filter: 2^24 uint32 words (64 MB)
+# blocked bloom filter cap: 2^26 uint32 words (256 MB) keeps the load at
+# ~1 key/word up to NB = 64M (the 4K-genome config measures 61M bucket
+# rows; capping at 2^24 there meant 3.6 keys/word, 3.5% false positives,
+# and a 4x capacity widening that halved throughput)
+BLOOM_LOG_WORDS = 26
 
 
 def _build_bloom(pref_lo: np.ndarray, log_words: int | None = None):
