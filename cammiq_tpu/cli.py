@@ -366,6 +366,9 @@ def run_query(a: dict) -> None:
 
 def main(argv: Optional[List[str]] = None) -> None:
     a = parse_args(list(sys.argv[1:] if argv is None else argv))
+    from .utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     if a["mode"] == 0:
         run_build(a)
     elif a["mode"] == 1:
