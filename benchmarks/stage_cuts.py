@@ -109,7 +109,11 @@ def main():
             out[cut] = bench(cut, lambda c, l: classify(
                 c, l, True, False, None)[0].cnts_u, codes, lengths)
         else:
-            out[cut] = bench(cut, make_cut(cut), dm_arrays, codes, lengths)
+            try:
+                out[cut] = bench(cut, make_cut(cut), dm_arrays, codes, lengths)
+            except ValueError as e:  # e.g. cut='filter' on a non-bloom path
+                print(f"  {cut:12s} skipped: {e}", file=sys.stderr, flush=True)
+                out[cut] = None
 
     js = json.dumps(out)
     print(js)

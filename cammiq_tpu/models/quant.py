@@ -200,11 +200,65 @@ def build_problem(
     )
 
 
+def _make_host_bound(prob: QuantProblem):
+    """Certified node lower bound for the B&B (host numpy).
+
+    For any multipliers lam >= 0 (doubly-coverage rows, a >= constraint)
+    and mu >= 0 (the TOTAL <= row), the Lagrangian
+        L(z) = f(z) + lam . (c2_rhs - E2(z)) + mu . (tg.z - total_rhs)
+    under-estimates f(z) at every node-feasible z, and by convexity
+        L(z) >= L(x) + gL(x) . (z - x)   for all z,
+    so  min_{z feasible} f(z) >= L(x) + min_{z in box} gL(x) . (z - x),
+    where the box min is closed-form per coordinate.  The bound is VALID
+    AT ANY x — an under-converged node solve only loosens it, it can
+    never prune the true optimum (the r4 advisor finding: the previous
+    prune compared against the FISTA objective value, which upper-bounds
+    the relaxed optimum when unconverged).  mu is maximized over a
+    log-grid (the bound is concave piecewise-linear in mu, every grid
+    point is individually valid)."""
+    n = prob.n
+    C2 = len(prob.c2_species)
+    sp_row = np.full(n, C2, np.int64)
+    sp_row[prob.c2_species] = np.arange(C2)
+    trow = sp_row[prob.downer] if len(prob.downer) else np.zeros(0, np.int64)
+    live = trow < C2
+
+    def bound(x, lam_c2, lbv, ubv):
+        x = np.asarray(x, np.float64)
+        pu = prob.uw * x[prob.ug] - prob.ur
+        pd = prob.dw1 * x[prob.dg1] + prob.dw2 * x[prob.dg2] - prob.dr
+        f = float(np.sum(prob.uf * pu * pu) + np.sum(prob.df * pd * pd))
+        g = np.zeros(n)
+        np.add.at(g, prob.ug, 2.0 * prob.uf * prob.uw * pu)
+        np.add.at(g, prob.dg1, 2.0 * prob.df * prob.dw1 * pd)
+        np.add.at(g, prob.dg2, 2.0 * prob.df * prob.dw2 * pd)
+        const = f
+        if C2 > 0 and live.any():
+            lam = np.maximum(np.asarray(lam_c2, np.float64), 0.0)
+            e2 = np.zeros(C2)
+            vals = (prob.dw1 * x[prob.dg1] + prob.dw2 * x[prob.dg2])[live]
+            np.add.at(e2, trow[live], vals)
+            const += float(np.dot(lam, prob.c2_rhs - e2))
+            tm = lam[trow[live]]
+            np.add.at(g, prob.dg1[live], -tm * prob.dw1[live])
+            np.add.at(g, prob.dg2[live], -tm * prob.dw2[live])
+        tgx = float(np.dot(prob.total_g, x))
+        mu0 = np.max(np.abs(g)) / (np.max(prob.total_g) + 1e-300)
+        best = -np.inf
+        for mu in [0.0] + [mu0 * 10.0 ** e for e in range(-6, 3)]:
+            gm = g + mu * prob.total_g
+            boxmin = np.sum(np.minimum(gm * (lbv - x), gm * (ubv - x)))
+            best = max(best, const + mu * (tgx - prob.total_rhs) + boxmin)
+        return best
+
+    return bound
+
+
 def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
                 penalty: float = 1.0, tol: float = 1e-7,
                 time_limit: float = 10800.0, enum_cap: int = 8,
-                enum_iters: int = 400, bnb_cap: int = 24,
-                bnb_nodes: int = 512,
+                enum_iters: int = 400, bnb_cap: int = 64,
+                bnb_nodes: int = 2048,
                 verbose: bool = False) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Solve the reference MIQP (src/query.cpp:1082-1298) TPU-natively.
 
@@ -532,24 +586,35 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
             break
 
     # ---- stage 2b: exact B&B over the free EXIST booleans ----
+    # Best-first over nodes ordered by a CERTIFIED lower bound (see
+    # _make_host_bound): pruning is sound at any FISTA accuracy, so a
+    # completed tree is an optimality certificate to solver tolerance
+    # (the CPLEX/Gurobi B&B role, src/query.cpp:1239-1260).
     bnb_complete = False
+    nodes = 0
     if enum_cap < n_free <= bnb_cap and stopped_by != "time_limit":
+        import heapq
+
+        host_bound = _make_host_bound(prob)
         incumbent = float(penalty_score(jnp.asarray(best_x), 1e-6))
         base_lb = np.where(forced, np.maximum(prob.lb, 0.01), 0.0)
         base_ub_f = np.where(forced, prob.ub, 0.0)
-        # stack of status vectors over free_idx: -1 undecided, 0 out, 1 in
-        stack = [np.full(n_free, -1, np.int8)]
-        nodes = 0
+        # heap of (parent bound, tiebreak, status vector over free_idx:
+        # -1 undecided, 0 out, 1 in, warm-start x)
+        tie = 0
+        heap = [(-np.inf, tie, np.full(n_free, -1, np.int8), xh)]
         bnb_complete = True
-        margin = 1e-9
-        while stack:
+        while heap:
+            pbound, _, st, xwarm = heapq.heappop(heap)
+            margin = 1e-9 * (1.0 + abs(incumbent))
+            if pbound >= incumbent - margin:
+                continue  # certified: no completion of this node wins
             if nodes >= bnb_nodes or time.perf_counter() - t0 > time_limit:
                 bnb_complete = False
                 stopped_by = ("bnb_node_cap" if nodes >= bnb_nodes
                               else "time_limit")
                 break
             nodes += 1
-            st = stack.pop()
             lbv = base_lb.copy()
             ubv = base_ub_f.copy()
             inn = free_idx[st == 1]
@@ -558,24 +623,23 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
             ubv[inn] = prob.ub[inn]
             ubv[und] = prob.ub[und]   # hole relaxed: lb stays 0
             lbj, ubj = jnp.asarray(lbv), jnp.asarray(ubv)
-            xr, _lc, _ = run_to_convergence(
-                jnp.clip(jnp.asarray(xh), lbj, ubj), jnp.zeros(C2),
+            xr, lam_r, _ = run_to_convergence(
+                jnp.clip(jnp.asarray(xwarm), lbj, ubj), jnp.zeros(C2),
                 lbj, ubj, max(outer // 2, 2))
-            sc = float(penalty_score(xr, 1e-6))
-            # the relaxation only enlarges the feasible set, so sc lower-
-            # bounds every completion (to solver tolerance)
-            if sc >= incumbent - margin:
-                continue
             xrn = np.asarray(xr)
+            cert = host_bound(xrn, np.asarray(lam_r), lbv, ubv)
+            if cert >= incumbent - margin:
+                continue
+            sc = float(penalty_score(xr, 1e-6))
             uv = xrn[und]
             hole = (uv > 1e-9) & (uv < 0.01 - 1e-9)
             if not hole.any():
-                # relaxed optimum is integral w.r.t. the EXIST holes:
-                # it IS the node's exact optimum — new incumbent
-                incumbent = sc
-                best_x = xr
-                best_ub_full = np.where(
-                    np.asarray(xrn) >= 0.009, ubv, 0.0)
+                # relaxed optimum is integral w.r.t. the EXIST holes: it
+                # IS this node's exact optimum — candidate incumbent
+                if sc < incumbent:
+                    incumbent = sc
+                    best_x = xr
+                    best_ub_full = np.where(xrn >= 0.009, ubv, 0.0)
                 continue
             ji = int(np.argmax(np.minimum(uv, 0.01 - uv) * hole))
             j = int(np.nonzero(free_idx == und[ji])[0][0])
@@ -583,11 +647,14 @@ def solve_quant(prob: QuantProblem, iters: int = 2000, outer: int = 6,
             st_in[j] = 1
             st_out = st.copy()
             st_out[j] = 0
-            # explore the branch the relaxed value leans toward FIRST
-            if uv[ji] >= 0.005:
-                stack.extend([st_out, st_in])
-            else:
-                stack.extend([st_in, st_out])
+            # children inherit the node's certified bound as priority;
+            # the branch the relaxed value leans toward gets the earlier
+            # tiebreak
+            first, second = ((st_in, st_out) if uv[ji] >= 0.005
+                             else (st_out, st_in))
+            for child in (first, second):
+                tie += 1
+                heapq.heappush(heap, (cert, tie, child, xrn))
         if bnb_complete:
             stopped_by = "bnb"
         xh = np.asarray(best_x)

@@ -275,8 +275,13 @@ def shard_merged_cuts(src: _MergedSource, mp: int):
     e_pad = max(1, max(h - l for l, h in zip(e_lo, e_hi)))
     db = max(8, min(20, max(int(nb_pad).bit_length() - 5, 8)))
     # per-shard blocked bloom (see sortjoin._build_bloom); the log size is
-    # shared across shards — it is baked into the jitted program
-    bloom_log = min(max(int(nb_pad).bit_length(), 12), 24)
+    # shared across shards — it is baked into the jitted program.  Cap at
+    # sortjoin.BLOOM_LOG_WORDS (not 2^24): a shard with nb_pad > ~16M rows
+    # at a 2^24-word filter measured 3.5% FP and a throughput-halving
+    # capacity widening (PERF.md "Index-size scaling").
+    from ..query.sortjoin import BLOOM_LOG_WORDS
+
+    bloom_log = min(max(int(nb_pad).bit_length(), 12), BLOOM_LOG_WORDS)
     return cuts_b, e_lo, e_hi, e_pad, nb_pad, db, bloom_log
 
 

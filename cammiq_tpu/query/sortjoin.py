@@ -655,6 +655,14 @@ def collect_matches_sortjoin(
     use_dir = not use_bloom and dm.dir_start is not None and (
         join == "dir" or (join == "auto" and NB > 4 * N)
     )
+    if cut == "filter" and not use_bloom:
+        # without this, a 'filter' cut on the dir/sort paths silently runs
+        # the FULL pipeline and the stage profiler reports end-to-end time
+        # as the filter stage
+        raise ValueError(
+            "cut='filter' requires the bloom join path (join='bloom', or "
+            "'auto' with a bloom table and NB > 4N); this call resolved to "
+            f"{'dir' if use_dir else 'sort'}")
     if use_bloom:
         # ---- bloom-prefiltered directory join (large-index regime).  The
         # dir path's weakness is dir_span_steps DEPENDENT gather rounds at
