@@ -19,6 +19,10 @@ Layout (all arrays little-endian, memmap-able):
   pref_lo.npy      uint32 [NB]       primary bucket hash (sorted)
   pref_hi.npy      uint32 [NB]       secondary bucket hash
   brec.npy         int32  [NB, 2]    bucket (entry start, count)
+  bloom.npy        uint32 [2^bloom_log]      probe prefilter (r4+)
+  cuckoo.npy       uint32 [2^cuckoo_log, 12] span table (r5+; see
+                   sortjoin._build_cuckoo — ensure_cuckoo upgrades older
+                   artifacts in place)
   orig_length.npy  int32  [eu+ed]    original-entry-order payloads the
   orig_rid1.npy    int32  [eu+ed]    quant/ident solvers need (rcounts are
   orig_rid2.npy    int32  [eu+ed]    indexed by original entry id)
@@ -90,10 +94,14 @@ def save_merged_artifact(m, index_u, index_d, path: str) -> None:
     _write(os.path.join(path, "brec.npy"), brec.astype(np.int32))
     # precomputed bloom filter (query/sortjoin.py): sessions memmap it
     # instead of re-deriving from pref_lo at every start
-    from ..query.sortjoin import _build_bloom
+    from ..query.sortjoin import _build_bloom, _build_cuckoo
 
     bloom, bloom_log = _build_bloom(m.pref_lo.astype(np.uint32))
     _write(os.path.join(path, "bloom.npy"), bloom)
+    # precomputed cuckoo span table (r5): the search stage's two-gather
+    # replacement for the directory binary search
+    ck_tab, ck_log = _build_cuckoo(m.pref_lo, m.bucket_start, m.bucket_count)
+    _write(os.path.join(path, "cuckoo.npy"), ck_tab)
 
     def cat(fu, fd):
         a = fu(index_u) if index_u is not None else np.zeros(0, np.int32)
@@ -110,7 +118,7 @@ def save_merged_artifact(m, index_u, index_d, path: str) -> None:
         "h": int(m.h), "kw": int(m.kw), "eu": int(m.eu), "ed": int(m.ed),
         "max_bucket": int(m.max_bucket), "n_colors": int(m.n_colors),
         "E": int(m.length.shape[0]), "NB": int(m.pref_lo.shape[0]),
-        "bloom_log": int(bloom_log),
+        "bloom_log": int(bloom_log), "cuckoo_log": int(ck_log),
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -136,6 +144,8 @@ class MergedArtifact:
     brec: np.ndarray       # memmap int32 [NB, 2]
     bloom: Optional[np.ndarray] = None   # memmap uint32 [2^bloom_log]
     bloom_log: int = 0
+    cuckoo: Optional[np.ndarray] = None  # memmap uint32 [2^cuckoo_log, 12]
+    cuckoo_log: int = 0
 
     def payloads(self) -> Tuple[EntryPayloads, Optional[EntryPayloads]]:
         """(unique, doubly-or-None) original-order payload tables."""
@@ -188,6 +198,8 @@ def load_merged_artifact(path: str) -> MergedArtifact:
 
     has_bloom = (meta.get("bloom_log", 0)
                  and os.path.exists(os.path.join(path, "bloom.npy")))
+    has_cuckoo = (meta.get("cuckoo_log", 0)
+                  and os.path.exists(os.path.join(path, "cuckoo.npy")))
     return MergedArtifact(
         path=path,
         h=meta["h"], kw=meta["kw"], eu=meta["eu"], ed=meta["ed"],
@@ -197,7 +209,37 @@ def load_merged_artifact(path: str) -> MergedArtifact:
         pref_lo=mm("pref_lo"), pref_hi=mm("pref_hi"), brec=mm("brec"),
         bloom=mm("bloom") if has_bloom else None,
         bloom_log=meta.get("bloom_log", 0) if has_bloom else 0,
+        cuckoo=mm("cuckoo") if has_cuckoo else None,
+        cuckoo_log=meta.get("cuckoo_log", 0) if has_cuckoo else 0,
     )
+
+
+def ensure_cuckoo(path: str, verbose: bool = False) -> bool:
+    """Upgrade a pre-r5 artifact in place: compute + persist the cuckoo
+    span table from its bucket arrays.  Returns True if written, False if
+    the artifact already had one."""
+    import sys
+    import time
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("cuckoo_log", 0) and os.path.exists(
+            os.path.join(path, "cuckoo.npy")):
+        return False
+    from ..query.sortjoin import _build_cuckoo
+
+    t0 = time.time()
+    pref_lo = np.load(os.path.join(path, "pref_lo.npy"), mmap_mode="r")
+    brec = np.load(os.path.join(path, "brec.npy"), mmap_mode="r")
+    tab, tlog = _build_cuckoo(np.asarray(pref_lo), brec[:, 0], brec[:, 1])
+    _write(os.path.join(path, "cuckoo.npy"), tab)
+    meta["cuckoo_log"] = int(tlog)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    if verbose:
+        print(f"ensure_cuckoo: {path}: 2^{tlog} rows in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    return True
 
 
 def prepare_merged(fi_u: str, fi_d: Optional[str], out: str,

@@ -282,16 +282,23 @@ def shard_merged_cuts(src: _MergedSource, mp: int):
     from ..query.sortjoin import BLOOM_LOG_WORDS
 
     bloom_log = min(max(int(nb_pad).bit_length(), 12), BLOOM_LOG_WORDS)
-    return cuts_b, e_lo, e_hi, e_pad, nb_pad, db, bloom_log
+    # per-shard cuckoo span table at load <= 0.4 (the table shape is baked
+    # into the multi-process jitted program, so the size must be derivable
+    # from shard geometry alone; _build_cuckoo raises on the ~impossible
+    # fixed-size placement failure)
+    ck_log = max(int(np.ceil(np.log2(max(nb_pad, 2) / 1.6))), 10)
+    return cuts_b, e_lo, e_hi, e_pad, nb_pad, db, bloom_log, ck_log
 
 
 def build_fused_shard(src: _MergedSource, i: int, cuts_b, e_lo, e_hi,
                       e_pad: int, nb_pad: int, db: int,
-                      bloom_log: int | None = None):
+                      bloom_log: int | None = None,
+                      ck_log: int | None = None):
     """Materialize shard i's padded fused-record arrays (one host slice
     per array - with a memmap source this faults in only shard i's pages).
     Returns (dict of arrays, dir span steps)."""
-    from ..query.sortjoin import NEVER_LEN, _build_bloom, _build_directory
+    from ..query.sortjoin import (NEVER_LEN, _build_bloom, _build_cuckoo,
+                                  _build_directory)
 
     kw1 = src.erec.shape[1]
     erec = np.zeros((e_pad, kw1), np.uint32)
@@ -318,6 +325,13 @@ def build_fused_shard(src: _MergedSource, i: int, cuts_b, e_lo, e_hi,
         # pads (0xFFFFFFFF rows) enter the filter too: a probe matching a
         # pad can only be a false positive, and pads carry a (0, 0) span
         out["bloom"] = _build_bloom(pref_lo, log_words=bloom_log)[0]
+    if ck_log is not None:
+        # real rows only: the pad key (0xFFFFFFFF, count 0) would read as
+        # empty anyway, and bc rows are what the search must resolve
+        out["cuckoo"] = _build_cuckoo(pref_lo[:max(bc, 1)],
+                                      brec[:max(bc, 1), 0],
+                                      brec[:max(bc, 1), 1],
+                                      tlog=ck_log)[0]
     return out, steps
 
 
@@ -385,7 +399,7 @@ class DistSortJoinSession:
             src = _MergedSource.from_merged(merged)
         self.eu, self.ed = src.eu, src.ed
         (cuts_b, e_lo, e_hi, e_pad, nb_pad, db,
-         bloom_log) = shard_merged_cuts(src, mp)
+         bloom_log, ck_log) = shard_merged_cuts(src, mp)
         # span steps must be a process-independent static (it is baked into
         # the jitted program): derive every shard's from its pref_lo slice
         span_steps = 1
@@ -393,7 +407,7 @@ class DistSortJoinSession:
             span_steps = max(span_steps, _shard_dir_steps(
                 src.pref_lo[cuts_b[i]:cuts_b[i + 1]], nb_pad, db))
         self._meta = (src.h, src.kw, src.max_bucket, src.n_colors, db,
-                      span_steps, bloom_log)
+                      span_steps, bloom_log, ck_log)
         self._fns = {}
         self._maxm = maxm
         self._frac = hit_capacity_frac
@@ -418,6 +432,7 @@ class DistSortJoinSession:
             "brec": ((mp, nb_pad, 2), np.int32),
             "dir_start": ((mp, (1 << db) + 1), np.int32),
             "bloom": ((mp, 1 << bloom_log), np.uint32),
+            "cuckoo": ((mp, 1 << ck_log, 12), np.uint32),
         }
         cache: dict = {}
 
@@ -425,7 +440,7 @@ class DistSortJoinSession:
             if i not in cache:
                 cache[i] = build_fused_shard(
                     src, i, cuts_b, e_lo, e_hi, e_pad, nb_pad, db,
-                    bloom_log=bloom_log)[0]
+                    bloom_log=bloom_log, ck_log=ck_log)[0]
             return cache[i]
 
         def make(name, shape, dtype):
@@ -450,7 +465,8 @@ class DistSortJoinSession:
         from ..query.classify import MatchSlots, case_analysis, rcounts_from_case
         from ..query.sortjoin import DeviceMergedIndex, collect_matches_sortjoin
 
-        h, kw, max_bucket, n_colors, db, span_steps, bloom_log = self._meta
+        (h, kw, max_bucket, n_colors, db, span_steps, bloom_log,
+         ck_log) = self._meta
         eu, ed, mp, G, sc = self.eu, self.ed, self.mp, self.G, self.sc
 
         def local_fn(sh, codes, lengths):
@@ -462,6 +478,7 @@ class DistSortJoinSession:
                 dir_span_steps=span_steps,
                 erec=sh["erec"][0], brec=sh["brec"][0], prec=sh["prec"][0],
                 bloom=sh["bloom"][0], bloom_log=bloom_log,
+                cuckoo=sh["cuckoo"][0], cuckoo_log=ck_log,
             )
             ms, ovh, ovs = collect_matches_sortjoin(
                 dmi, codes, lengths, hit_capacity_frac=frac, maxm=maxm)

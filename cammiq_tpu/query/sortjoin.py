@@ -170,6 +170,156 @@ def _build_directory(pref_lo: np.ndarray, db: int | None = None):
     return dir_start, db, steps
 
 
+# ---- cuckoo span table: the large-index search stage without dependent
+# gathers.  The bloom path's remaining dependent chain was dir_span_steps
+# (7-8) binary-search rounds gathering pref_lo[mid] from an NB-sized
+# operand; measured on this chip (benchmarks/gather_scaling.py) that
+# chain costs ~2.7 ms at K=19.2K while TWO independent [12]-word row
+# gathers cost ~0.5 ms even into multi-GB operands.  So the artifact
+# precomputes a 2-choice, 4-slot-per-bucket hash table mapping each
+# DISTINCT 32-bit bucket hash to its entry span: row layout
+# [k0..k3, s0..s3, c0..c3] (keys, span starts, span counts), empty slots
+# have count 0 (a real span never does).  Lookup = 2 independent row
+# gathers + vector compares; exactness is by full 32-bit key equality,
+# identical to the binary search's pref_lo[found] == ck test, and the
+# bucket scan verifies entry content either way.
+CUCKOO_SLOTS = 4
+# target load keys/(slots*rows) <= ~0.6: greedy 2-choice placement (no
+# eviction chains) converges in a few rounds there; on failure the build
+# retries one size up
+_CUCKOO_LOAD = 2.4  # keys per ROW target (= 0.6 * CUCKOO_SLOTS)
+
+
+def _cuckoo_pos(key, which: int, tlog: int, xp=np):
+    C = xp.uint32
+    with np.errstate(over="ignore"):
+        if which == 0:
+            z = key * C(0x9E3779B1)
+        else:
+            z = (key ^ C(0x85EBCA6B)) * C(0xC2B2AE35)
+            z = z ^ (z >> C(15))
+        p = z >> C(32 - tlog)
+    return p.astype(np.int64 if xp is np else xp.int32)
+
+
+def _cuckoo_try_place(keys, starts, counts, tlog: int, rng,
+                      max_rounds: int = 64):
+    """Parallel cuckoo placement with priority aging: every round ALL
+    keys compete for their current-choice bucket's CUCKOO_SLOTS slots,
+    older (more-displaced) keys winning ties — so a stuck key eventually
+    EVICTS a settled one, which re-places via its alternate bucket (the
+    vectorized equivalent of cuckoo hashing's displacement chains; pure
+    greedy without eviction measurably jams at load ~0.45: ~11% of
+    buckets are already full after the first round).  Returns the table
+    or None if max_rounds pass without a full placement."""
+    S = CUCKOO_SLOTS
+    T = 1 << tlog
+    nd = keys.shape[0]
+    if nd == 0:
+        return np.zeros((T, 3 * S), np.uint32)
+    if nd > S * T:
+        return None
+    h = np.stack([_cuckoo_pos(keys, 0, tlog), _cuckoo_pos(keys, 1, tlog)])
+    choice = np.zeros(nd, np.uint8)
+    age = np.zeros(nd, np.int64)
+    # sticky per-key tiebreak: settled winners stay settled unless an
+    # older (more-displaced) key arrives, so later rounds touch only the
+    # contended buckets — round 1 is the only full-population sort
+    pri = rng.integers(0, 1 << 62, nd)
+    occ = np.full((T, S), -1, np.int64)
+    pending = np.arange(nd)
+    for _ in range(max_rounds):
+        if pending.size == 0:
+            bi, si = np.nonzero(occ >= 0)
+            ki = occ[bi, si]
+            tab = np.zeros((T, 3 * S), np.uint32)
+            tab[bi, si] = keys[ki]
+            tab[bi, S + si] = np.asarray(starts, np.uint32)[ki]
+            tab[bi, 2 * S + si] = np.asarray(counts, np.uint32)[ki]
+            return tab
+        pb = h[choice[pending], pending]
+        aff = np.unique(pb)                     # contended buckets
+        old = occ[aff].ravel()
+        old = old[old >= 0]
+        occ[aff] = -1
+        cont = np.concatenate([old, pending])
+        cb = np.concatenate([h[choice[old], old], pb])
+        order = np.lexsort((pri[cont], -age[cont], cb))
+        cs = cb[order]
+        n = cs.shape[0]
+        run_start = np.empty(n, bool)
+        run_start[0] = True
+        np.not_equal(cs[1:], cs[:-1], out=run_start[1:])
+        first_pos = np.nonzero(run_start)[0]
+        rank = np.arange(n) - first_pos[np.cumsum(run_start) - 1]
+        win = rank < S
+        winners = cont[order[win]]
+        occ[cs[win], rank[win]] = winners
+        losers = cont[order[~win]]
+        choice[losers] ^= 1
+        age[losers] += 1
+        pending = losers
+    return None
+
+
+def _build_cuckoo(pref_lo, bucket_start, bucket_count,
+                  tlog: int | None = None):
+    """(table [T, 3*CUCKOO_SLOTS] uint32, tlog) over the DISTINCT primary
+    bucket hashes; each key's span is its hlo run's full entry span (the
+    first bucket row of the run — identical to lower_bound semantics).
+
+    tlog=None sizes to keys/rows <= _CUCKOO_LOAD and retries one size up
+    on placement failure.  A fixed tlog (the dist path: table shape is
+    baked into a multi-process jitted program, so every process must
+    agree statically) raises on failure instead — callers there size for
+    load <= 0.4, where greedy 2-choice placement failing is a
+    cryptographic-grade anomaly."""
+    pref_lo = np.ascontiguousarray(pref_lo, np.uint32)
+    nb = pref_lo.shape[0]
+    first = np.ones(nb, bool)
+    first[1:] = pref_lo[1:] != pref_lo[:-1]
+    keys = pref_lo[first]
+    starts = np.ascontiguousarray(bucket_start)[first]
+    counts = np.ascontiguousarray(bucket_count)[first]
+    nd = keys.shape[0]
+    rng = np.random.default_rng(0xC0C0)
+    if tlog is not None:
+        tab = _cuckoo_try_place(keys, starts, counts, tlog, rng)
+        if tab is None:
+            raise RuntimeError(
+                f"cuckoo span table: fixed-size placement failed at 2^{tlog}"
+                f" rows for {nd} keys")
+        return tab, tlog
+    tl = max(int(np.ceil(np.log2(max(nd, 2) / _CUCKOO_LOAD))), 10)
+    while tl <= 30:
+        tab = _cuckoo_try_place(keys, starts, counts, tl, rng)
+        if tab is not None:
+            return tab, tl
+        tl += 1
+    raise RuntimeError("cuckoo span table: placement failed up to 2^30 rows")
+
+
+def _cuckoo_lookup(tab, tlog: int, ck, jnp):
+    """(found, span_start, span_count) for probe keys ck — two independent
+    row gathers, exact by 32-bit key equality (empty slots have count 0)."""
+    S = CUCKOO_SLOTS
+
+    def side(which):
+        r = tab[_cuckoo_pos(ck, which, tlog, jnp)]       # [K, 3S]
+        hit = (r[:, 0:S] == ck[:, None]) & (r[:, 2 * S : 3 * S] > 0)
+        f = hit.any(axis=1)
+        st = jnp.sum(jnp.where(hit, r[:, S : 2 * S], 0), axis=1)
+        ct = jnp.sum(jnp.where(hit, r[:, 2 * S : 3 * S], 0), axis=1)
+        return f, st, ct
+
+    f1, s1, c1 = side(0)
+    f2, s2, c2 = side(1)
+    found = f1 | f2
+    st = jnp.where(f1, s1, s2).astype(jnp.int32)
+    ct = jnp.where(f1, c1, c2).astype(jnp.int32)
+    return found, st, ct
+
+
 _HHI_BITS = 9  # secondary-hash width stored per bucket row
 
 # bucket scan strategy cutover: max_bucket <= this unrolls a masked
@@ -474,15 +624,18 @@ class DeviceMergedIndex:
     # blocked bloom filter over pref_lo (one-gather probe prefilter)
     bloom: Any = None
     bloom_log: int = 0
+    # cuckoo span table (two-row-gather search stage, see _build_cuckoo)
+    cuckoo: Any = None
+    cuckoo_log: int = 0
 
 
 # array fields passed into the jitted classifier as ARGUMENTS (a closure
 # capture would bake gigabytes of index into the executable as constants)
 _DM_ARRAYS = ("key_words", "length", "rid1", "rid2", "gid", "color",
               "pref_lo", "pref_hi", "bucket_start", "bucket_count",
-              "dir_start", "erec", "brec", "prec", "bloom")
+              "dir_start", "erec", "brec", "prec", "bloom", "cuckoo")
 _DM_STATIC = ("h", "kw", "eu", "ed", "max_bucket", "n_colors", "dir_bits",
-              "dir_span_steps", "bloom_log")
+              "dir_span_steps", "bloom_log", "cuckoo_log")
 
 NEVER_LEN = 0xFFFF  # erec length field for oversize/pad entries
 
@@ -512,6 +665,7 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
         m.key_words, m.length, m.color, m.bucket_start, m.bucket_count,
         m.gid, m.rid1, m.rid2, np,
     )
+    ck_tab, ck_log = _build_cuckoo(m.pref_lo, m.bucket_start, m.bucket_count)
     return DeviceMergedIndex(
         h=m.h, kw=m.kw, eu=m.eu, ed=m.ed, max_bucket=m.max_bucket,
         n_colors=m.n_colors,
@@ -520,6 +674,7 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
         dir_bits=m.dir_bits, dir_span_steps=m.dir_span_steps,
         erec=jnp.asarray(erec), brec=jnp.asarray(brec),
         prec=jnp.asarray(prec),
+        cuckoo=jnp.asarray(ck_tab), cuckoo_log=ck_log,
         **_bloom_kwargs(m.pref_lo, jnp),
     )
 
@@ -536,6 +691,13 @@ def to_device_merged_artifact(a) -> DeviceMergedIndex:
                "bloom_log": a.bloom_log}
     else:  # pre-r4 artifact: derive the filter from the bucket hashes
         bkw = _bloom_kwargs(plo, jnp)
+    if getattr(a, "cuckoo", None) is not None:
+        # precomputed span table (r5 artifacts); pre-cuckoo artifacts fall
+        # back to the directory binary search rather than paying a ~30 s
+        # host build at session start — index.artifact.ensure_cuckoo
+        # upgrades them in place
+        bkw.update(cuckoo=jnp.asarray(np.asarray(a.cuckoo)),
+                   cuckoo_log=a.cuckoo_log)
     return DeviceMergedIndex(
         h=a.h, kw=a.kw, eu=a.eu, ed=a.ed, max_bucket=a.max_bucket,
         n_colors=a.n_colors,
@@ -684,31 +846,50 @@ def collect_matches_sortjoin(
         cpos = jnp.where(cv, skey, -1)
         if cut == "compact":
             return _cut_out(cv, cpos)
-        # exact membership: directory + binary search on the K survivors
+        # exact membership on the K survivors
         ck = khlo[jnp.maximum(cpos, 0)]
-        db = dm.dir_bits
-        top = (ck >> jnp.uint32(32 - db)).astype(jnp.int32)
-        blo = dm.dir_start[top]
-        bhi = dm.dir_start[top + 1]
+        if dm.cuckoo is not None:
+            # cuckoo span table: two independent row gathers replace the
+            # dir_span_steps dependent binary-search rounds AND the brec
+            # span gather (the span rides in the table cells)
+            realf, cstart_k, ccnt_k = _cuckoo_lookup(
+                dm.cuckoo, dm.cuckoo_log, ck, jnp)
+            real = cv & realf
+            cv = real
+            cpos = jnp.where(real, cpos, -1)
+            cbid = None
+            span_pre = (jnp.where(real, cstart_k, 0),
+                        jnp.where(real, ccnt_k, 0))
+            if cut == "search":
+                return _cut_out(real, cstart_k)
+        else:
+            # directory + binary search (pre-cuckoo artifacts)
+            db = dm.dir_bits
+            top = (ck >> jnp.uint32(32 - db)).astype(jnp.int32)
+            blo = dm.dir_start[top]
+            bhi = dm.dir_start[top + 1]
 
-        def bs_body_k(_, lh):
-            lo, hi2 = lh
-            active = lo < hi2
-            mid = (lo + hi2) >> 1
-            v = dm.pref_lo[jnp.clip(mid, 0, NB - 1)]
-            less = v < ck
-            nlo = jnp.where(less, mid + 1, lo)
-            nhi = jnp.where(less, hi2, mid)
-            return (jnp.where(active, nlo, lo), jnp.where(active, nhi, hi2))
+            def bs_body_k(_, lh):
+                lo, hi2 = lh
+                active = lo < hi2
+                mid = (lo + hi2) >> 1
+                v = dm.pref_lo[jnp.clip(mid, 0, NB - 1)]
+                less = v < ck
+                nlo = jnp.where(less, mid + 1, lo)
+                nhi = jnp.where(less, hi2, mid)
+                return (jnp.where(active, nlo, lo),
+                        jnp.where(active, nhi, hi2))
 
-        blo, bhi = jax.lax.fori_loop(0, dm.dir_span_steps, bs_body_k, (blo, bhi))
-        found_row = jnp.minimum(blo, NB - 1)
-        real = cv & (blo < NB) & (dm.pref_lo[found_row] == ck)
-        cv = real
-        cpos = jnp.where(real, cpos, -1)
-        cbid = found_row
-        if cut == "search":
-            return _cut_out(real, found_row)
+            blo, bhi = jax.lax.fori_loop(0, dm.dir_span_steps, bs_body_k,
+                                         (blo, bhi))
+            found_row = jnp.minimum(blo, NB - 1)
+            real = cv & (blo < NB) & (dm.pref_lo[found_row] == ck)
+            cv = real
+            cpos = jnp.where(real, cpos, -1)
+            cbid = found_row
+            span_pre = None
+            if cut == "search":
+                return _cut_out(real, found_row)
     elif use_dir:
         # ---- directory + binary-search join (large-index regime).  When
         # the bucket list dwarfs the probe list, sorting NB+N rows per
@@ -744,6 +925,7 @@ def collect_matches_sortjoin(
         cv = skey < BIGOFF
         cpos = jnp.where(cv, skey, -1)
         cbid = found_row[jnp.maximum(cpos, 0)]
+        span_pre = None
     else:
         # ---- sort-merge join of probe prefixes with table buckets, on a
         # HASHED key: word1 = 32-bit primary hash, word2 fuses the
@@ -805,15 +987,20 @@ def collect_matches_sortjoin(
         crow_c = jnp.where(cv, skey, 0)
         cpos = jnp.where(cv, sval[crow_c], -1)
         cbid = pbid[crow_c]
+        span_pre = None
     if cut == "compact":
-        return _cut_out(cv, cpos, cbid)
-    # bucket (start, count) as one row-gather (precomputed at session
-    # setup when available; rebuilding costs a full-index copy per batch)
-    brec = dm.brec if dm.brec is not None else jnp.stack(
-        [dm.bucket_start, dm.bucket_count], axis=-1)
-    crec = brec[cbid]
-    cstart = jnp.where(cv, crec[:, 0], 0)
-    ccnt = jnp.where(cv, crec[:, 1], 0)
+        return _cut_out(cv, cpos, cbid if cbid is not None else cv)
+    if span_pre is not None:
+        cstart, ccnt = span_pre   # cuckoo cells carried the span already
+    else:
+        # bucket (start, count) as one row-gather (precomputed at session
+        # setup when available; rebuilding costs a full-index copy per
+        # batch)
+        brec = dm.brec if dm.brec is not None else jnp.stack(
+            [dm.bucket_start, dm.bucket_count], axis=-1)
+        crec = brec[cbid]
+        cstart = jnp.where(cv, crec[:, 0], 0)
+        ccnt = jnp.where(cv, crec[:, 1], 0)
     n_hits = jnp.sum(probe_hit.astype(jnp.int32))
     overflow_hits = jnp.maximum(n_hits - K, 0)
 

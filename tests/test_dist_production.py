@@ -72,7 +72,8 @@ def test_dist_production_artifact_exact():
 
     # shard stats at production scale (VERDICT r3: record them)
     src = _MergedSource.from_artifact(art)
-    cuts_b, e_lo, e_hi, e_pad, nb_pad, db, bloom_log = shard_merged_cuts(src, 2)
+    (cuts_b, e_lo, e_hi, e_pad, nb_pad, db, bloom_log,
+     ck_log) = shard_merged_cuts(src, 2)
     sizes = [e_hi[i] - e_lo[i] for i in range(2)]
     print(f"[dist-production] E={art.E} NB={art.NB} shards=2 "
           f"e_pad={e_pad} nb_pad={nb_pad} db={db} bloom_log={bloom_log} "

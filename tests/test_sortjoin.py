@@ -187,3 +187,71 @@ def test_expanded_bucket_scan_matches_baseline(setup, sc, monkeypatch):
     if not sc:
         np.testing.assert_array_equal(np.asarray(out.rcount_u), ref.rcount_u)
         np.testing.assert_array_equal(np.asarray(out.rcount_d), ref.rcount_d)
+
+
+def test_cuckoo_span_table_exact():
+    """_build_cuckoo/_cuckoo_lookup: every distinct bucket hash resolves
+    to its full hlo-run span; absent keys are rejected (host numpy twin
+    of the in-jit lookup)."""
+    import jax.numpy as jnp
+
+    from cammiq_tpu.query.sortjoin import _build_cuckoo, _cuckoo_lookup
+
+    rng = np.random.default_rng(5)
+    nd = 40000
+    keys = np.unique(rng.integers(0, 1 << 32, nd * 2, np.int64)
+                     .astype(np.uint32))[:nd]
+    # synthesize bucket rows: some keys get duplicate rows (hhi splits)
+    reps = rng.integers(1, 3, nd)
+    pref_lo = np.sort(np.repeat(keys, reps))
+    first = np.ones(pref_lo.shape[0], bool)
+    first[1:] = pref_lo[1:] != pref_lo[:-1]
+    starts = rng.integers(0, 1 << 20, pref_lo.shape[0]).astype(np.int32)
+    counts = rng.integers(1, 5, pref_lo.shape[0]).astype(np.int32)
+    # rows of one run must share the span (as build_merged_index emits)
+    run_id = np.cumsum(first) - 1
+    starts = starts[np.nonzero(first)[0]][run_id]
+    counts = counts[np.nonzero(first)[0]][run_id]
+    tab, tlog = _build_cuckoo(pref_lo, starts, counts)
+    # present keys
+    f, st, ct = _cuckoo_lookup(jnp.asarray(tab), tlog,
+                               jnp.asarray(pref_lo[first]), jnp)
+    assert bool(np.all(np.asarray(f)))
+    np.testing.assert_array_equal(np.asarray(st), starts[first])
+    np.testing.assert_array_equal(np.asarray(ct), counts[first])
+    # absent keys
+    absent = np.setdiff1d(
+        rng.integers(0, 1 << 32, 4096, np.int64).astype(np.uint32),
+        keys)
+    f2, _, _ = _cuckoo_lookup(jnp.asarray(tab), tlog, jnp.asarray(absent),
+                              jnp)
+    assert not bool(np.any(np.asarray(f2)))
+
+
+def test_bloom_join_cuckoo_matches_binary_search():
+    """The cuckoo span-table search and the pre-r5 directory binary
+    search (cuckoo=None fallback, the old-artifact path) must agree
+    exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dist_fixture import make_dist_fixture
+    from cammiq_tpu.query.sortjoin import (
+        build_merged_index, collect_matches_sortjoin, to_device_merged,
+    )
+
+    art, rs, G = make_dist_fixture(seed=17)
+    dm = to_device_merged(build_merged_index(art.unique_index, art.doubly_index))
+    assert dm.cuckoo is not None
+    dm_nock = dataclasses.replace(dm, cuckoo=None, cuckoo_log=0)
+    codes = jnp.asarray(rs.codes)
+    lengths = jnp.asarray(rs.lengths)
+    a, ovh_a, _ = collect_matches_sortjoin(dm, codes, lengths, join="bloom",
+                                           hit_capacity_frac=1)
+    b, ovh_b, _ = collect_matches_sortjoin(dm_nock, codes, lengths,
+                                           join="bloom", hit_capacity_frac=1)
+    assert int(ovh_a) == 0 and int(ovh_b) == 0
+    for fld in ("slots", "rid1", "rid2", "in_u"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, fld)),
+                                      np.asarray(getattr(b, fld)))
