@@ -143,8 +143,29 @@ def _bloom_bits(key, xp):
     )
 
 
-def _bloom_kwargs(pref_lo: np.ndarray, jnp):
+# device-side bloom cap when the exact cuckoo stage follows: a 64 MB
+# filter gathers ~1.7x faster than 128-512 MB operands on this chip
+# (benchmarks/gather_scaling.py), and its higher FP rate at 60M+ keys
+# only costs recompaction slots, not wrong results
+BLOOM_DEVICE_LOG = 24
+
+
+def _fold_bloom(table: np.ndarray, to_log: int):
+    """Shrink a blocked bloom to 2^to_log words by OR-folding: the word
+    index is the key's TOP log bits, so halving merges words (2i, 2i+1);
+    bit positions are log-independent (_bloom_bits).  No false negatives
+    are introduced — only the FP rate rises with the per-word load."""
+    lw = int(table.shape[0]).bit_length() - 1
+    while lw > to_log:
+        table = np.bitwise_or(table[0::2], table[1::2])
+        lw -= 1
+    return table, lw
+
+
+def _bloom_kwargs(pref_lo: np.ndarray, jnp, cap: int | None = None):
     table, lw = _build_bloom(np.asarray(pref_lo))
+    if cap is not None and lw > cap:
+        table, lw = _fold_bloom(table, cap)
     return {"bloom": jnp.asarray(table), "bloom_log": lw}
 
 
@@ -675,7 +696,7 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
         erec=jnp.asarray(erec), brec=jnp.asarray(brec),
         prec=jnp.asarray(prec),
         cuckoo=jnp.asarray(ck_tab), cuckoo_log=ck_log,
-        **_bloom_kwargs(m.pref_lo, jnp),
+        **_bloom_kwargs(m.pref_lo, jnp, cap=BLOOM_DEVICE_LOG),
     )
 
 
@@ -686,12 +707,16 @@ def to_device_merged_artifact(a) -> DeviceMergedIndex:
 
     plo = np.asarray(a.pref_lo)
     ds, db, steps = _build_directory(plo)
+    has_ck = getattr(a, "cuckoo", None) is not None
+    cap = BLOOM_DEVICE_LOG if has_ck else None
     if getattr(a, "bloom", None) is not None:
-        bkw = {"bloom": jnp.asarray(np.asarray(a.bloom)),
-               "bloom_log": a.bloom_log}
+        bt, bl = np.asarray(a.bloom), a.bloom_log
+        if cap is not None and bl > cap:
+            bt, bl = _fold_bloom(bt, cap)
+        bkw = {"bloom": jnp.asarray(bt), "bloom_log": bl}
     else:  # pre-r4 artifact: derive the filter from the bucket hashes
-        bkw = _bloom_kwargs(plo, jnp)
-    if getattr(a, "cuckoo", None) is not None:
+        bkw = _bloom_kwargs(plo, jnp, cap=cap)
+    if has_ck:
         # precomputed span table (r5 artifacts); pre-cuckoo artifacts fall
         # back to the directory binary search rather than paying a ~30 s
         # host build at session start — index.artifact.ensure_cuckoo
@@ -839,14 +864,22 @@ def collect_matches_sortjoin(
         if cut == "filter":
             return _cut_out(maybe)
         K = min(max(N // hit_capacity_frac, 256), N)
+        # with the exact cuckoo stage downstream, bloom false positives
+        # are cheap (they die before the bucket scan in the recompaction
+        # below), so when the filter runs above ~1.5 keys/word (the
+        # fold-reduced 64 MB filter at 60M+ keys, FP ~2-4%) the
+        # pre-search capacity doubles to absorb them
+        fp_heavy = NB > (3 << dm.bloom_log) // 2
+        K1 = (min(max((2 if fp_heavy else 1) * K, 512), N)
+              if dm.cuckoo is not None else K)
         rows = jnp.arange(N, dtype=jnp.int32)
         fkey = jnp.where(maybe, rows, rows + BIGOFF)
-        skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K]
+        skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K1]
         cv = skey < BIGOFF
         cpos = jnp.where(cv, skey, -1)
         if cut == "compact":
             return _cut_out(cv, cpos)
-        # exact membership on the K survivors
+        # exact membership on the K1 survivors
         ck = khlo[jnp.maximum(cpos, 0)]
         if dm.cuckoo is not None:
             # cuckoo span table: two independent row gathers replace the
@@ -855,13 +888,24 @@ def collect_matches_sortjoin(
             realf, cstart_k, ccnt_k = _cuckoo_lookup(
                 dm.cuckoo, dm.cuckoo_log, ck, jnp)
             real = cv & realf
-            cv = real
-            cpos = jnp.where(real, cpos, -1)
-            cbid = None
-            span_pre = (jnp.where(real, cstart_k, 0),
-                        jnp.where(real, ccnt_k, 0))
             if cut == "search":
                 return _cut_out(real, cstart_k)
+            # ---- recompaction: only cuckoo-CONFIRMED candidates reach
+            # the bucket scan / payload / collect stages, so bloom FPs
+            # cost one K1 slot + one cheap row-gather, nothing more
+            rows1 = jnp.arange(K1, dtype=jnp.int32)
+            fkey2 = jnp.where(real, rows1, rows1 + BIGOFF)
+            skey2 = jax.lax.sort([fkey2], num_keys=1, is_stable=False)[0][:K]
+            cv = skey2 < BIGOFF
+            sel = jnp.where(cv, skey2, 0)
+            cpos = jnp.where(cv, cpos[sel], -1)
+            cbid = None
+            span_pre = (jnp.where(cv, cstart_k[sel], 0),
+                        jnp.where(cv, ccnt_k[sel], 0))
+            # exact overflow accounting: found beyond K is lost work (the
+            # maybe > K1 term below covers pre-search loss)
+            found_total = jnp.sum(real.astype(jnp.int32))
+            extra_overflow = jnp.maximum(found_total - K, 0)
         else:
             # directory + binary search (pre-cuckoo artifacts)
             db = dm.dir_bits
@@ -1002,7 +1046,12 @@ def collect_matches_sortjoin(
         cstart = jnp.where(cv, crec[:, 0], 0)
         ccnt = jnp.where(cv, crec[:, 1], 0)
     n_hits = jnp.sum(probe_hit.astype(jnp.int32))
-    overflow_hits = jnp.maximum(n_hits - K, 0)
+    if use_bloom and dm.cuckoo is not None:
+        # two-stage accounting: bloom-maybes beyond K1, plus confirmed
+        # candidates beyond K (extra_overflow from the recompaction)
+        overflow_hits = jnp.maximum(n_hits - K1, 0) + extra_overflow
+    else:
+        overflow_hits = jnp.maximum(n_hits - K, 0)
 
     # ---- bucket scan on compacted candidates.  Per-entry fields are
     # packed into one [E, kw+1] record (kw key words + length|color) so
