@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--join", default="auto",
                     choices=["auto", "sort", "dir", "bloom"])
+    ap.add_argument("--frac", type=int, default=32,
+                    help="hit_capacity_frac (bench.py widens to 16 at the "
+                         "4K/20K-genome shapes; profile the real regime)")
     ap.add_argument("--cuts", default=",".join(CUTS))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -86,7 +89,7 @@ def main():
               file=sys.stderr, flush=True)
         return round(ms, 3)
 
-    out = {"E": art.E, "NB": art.NB, "N": N, "B": B, "join": args.join,
+    out = {"E": art.E, "NB": art.NB, "N": N, "B": B, "join": args.join, "frac": args.frac,
            "dir_bits": dm.dir_bits, "dir_span_steps": dm.dir_span_steps,
            "max_bucket": art.max_bucket, "n_colors": art.n_colors}
 
@@ -94,13 +97,14 @@ def main():
         def f(arrays, c, l):
             dmi = DeviceMergedIndex(**dm_static, **arrays)
             r = collect_matches_sortjoin(dmi, c, l, join=args.join,
+                                         hit_capacity_frac=args.frac,
                                          cut=None if cut == "collect" else cut)
             if cut == "collect":
                 return r[0].slots[:2, :2]
             return r
         return jax.jit(f)
 
-    classify = make_sortjoin_classifier(dm, 1001)
+    classify = make_sortjoin_classifier(dm, 1001, hit_capacity_frac=args.frac)
     for cut in args.cuts.split(","):
         if cut == "part1":
             out[cut] = bench(cut, lambda c, l: classify(

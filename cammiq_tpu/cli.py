@@ -203,8 +203,28 @@ def run_build(a: dict) -> None:
         f"****************************",
         file=sys.stderr,
     )
-    art = build_index(corpus, cfg, engine=a["engine"], verbose=True,
-                      sa_hosts=a.get("build_hosts", 0))
+    hosts = a.get("build_hosts", 0)
+    if hosts > 1 and not (cfg.occ_u8_wrap or cfg.unique_if_advance):
+        # memory-honest cross-host pipeline: sharded sort + distributed
+        # merge + chunk-carried sweeps + per-shard selection; identical
+        # index to build_index(num_groups=min(hosts,4,M)) (the text
+        # shards ARE the reference's per-thread selection groups)
+        from . import native as _native
+
+        if _native.available() and _native.has_bsort():
+            import tempfile
+
+            from .parallel.dist_build import dist_build_index
+
+            with tempfile.TemporaryDirectory(prefix="cammiq_dist_") as wd:
+                art, rss = dist_build_index(corpus, cfg, hosts, wd,
+                                            verbose=True)
+        else:
+            art = build_index(corpus, cfg, engine=a["engine"], verbose=True,
+                              sa_hosts=hosts)
+    else:
+        art = build_index(corpus, cfg, engine=a["engine"], verbose=True,
+                          sa_hosts=hosts)
     outdir = os.path.dirname(a["fi_u"]) or "."
     from .index.builder import write_meta_outputs
     from .index.table import save_flat_index

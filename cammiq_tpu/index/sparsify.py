@@ -51,6 +51,27 @@ class SelectedSubstrings:
         return int(self.start.shape[0])
 
 
+def _group_spans(ref_pos, M: int, num_groups: int, start_file):
+    """Selection-group text spans [(i0, nexti, first_file)].
+
+    start_file is the sharded-build hook (parallel/dist_build.py): one
+    group covering files [start_file, M), with the group-start state of
+    a monolithic run whose group boundary falls exactly there — the
+    preceding files are context-only (a pad in the caller's view)."""
+    ref_pos = np.asarray(ref_pos, np.int64)
+    if start_file is not None:
+        i0 = 1 if start_file == 0 else int(ref_pos[start_file - 1])
+        return [(i0, int(ref_pos[M - 1]), start_file)]
+    nref = M // num_groups
+    out = []
+    for tid in range(num_groups):
+        i0 = 1 if tid == 0 else int(ref_pos[tid * nref - 1])
+        nexti = (int(ref_pos[M - 1]) if tid == num_groups - 1
+                 else int(ref_pos[(tid + 1) * nref - 1]))
+        out.append((i0, nexti, tid * nref))
+    return out
+
+
 def _is_acgt(seq: np.ndarray) -> np.ndarray:
     ok = np.zeros(256, dtype=bool)
     for v in _ACGT_OFFSET:
@@ -69,6 +90,7 @@ def select_substrings(
     num_groups: int = 1,
     engine: str = "auto",
     unique_if_advance: bool = False,
+    start_file: Optional[int] = None,
 ) -> SelectedSubstrings:
     """Sparsified selection; engine='fast' uses the vectorized path
     (identical output, see select_substrings_fast), 'exact' the scalar
@@ -84,7 +106,12 @@ def select_substrings(
 
     engine='native' (auto-picked when the C++ library is built) runs the
     O(n)-time / O(1)-memory sweep in native/sweeps.cpp - the production
-    path at multi-GB corpus scale."""
+    path at multi-GB corpus scale.
+
+    start_file: sharded-build hook (see _group_spans) — python engines
+    only, so it forces 'fast' under auto/native."""
+    if start_file is not None and engine in ("auto", "native"):
+        engine = "fast"
     if engine in ("auto", "native"):
         from .. import native as _native
 
@@ -118,12 +145,13 @@ def select_substrings(
     if engine == "fast":
         return select_substrings_fast(
             corpus, mu, occ, L, Lmax, gsa2_text=gsa2_text, occ2=occ2,
-            num_groups=num_groups,
+            num_groups=num_groups, start_file=start_file,
         )
     return select_substrings_exact(
         corpus, mu, occ, L, Lmax, gsa2_text=gsa2_text, occ2=occ2,
         num_groups=num_groups,
         unique_if_advance=unique_if_advance and gsa2_text is None,
+        start_file=start_file,
     )
 
 
@@ -137,6 +165,7 @@ def select_substrings_exact(
     occ2: Optional[np.ndarray] = None,
     num_groups: int = 1,
     unique_if_advance: bool = False,
+    start_file: "Optional[int]" = None,
 ) -> SelectedSubstrings:
     """Reference-exact sequential engine (src/build.cpp:336-629).
 
@@ -171,12 +200,10 @@ def select_substrings_exact(
     cand_pos = np.nonzero(mu[: int(ref_pos[-1])] != MU_EMPTY)[0]
     cand_pos = cand_pos[cand_pos >= 1]
 
-    nref = M // num_groups
-    for tid in range(num_groups):
-        i0 = 1 if tid == 0 else int(ref_pos[tid * nref - 1])
-        nexti = int(ref_pos[M - 1]) if tid == num_groups - 1 else int(ref_pos[(tid + 1) * nref - 1])
+    groups = _group_spans(ref_pos, M, num_groups, start_file)
+    for i0, nexti, ri0 in groups:
         ci = int(np.searchsorted(contig_pos, i0, side="right"))
-        ri = tid * nref
+        ri = ri0
         lastr = ri
         start = 0
         start_ = 0
@@ -264,6 +291,7 @@ def select_substrings_fast(
     gsa2_text: Optional[np.ndarray] = None,
     occ2: Optional[np.ndarray] = None,
     num_groups: int = 1,
+    start_file: "Optional[int]" = None,
 ) -> SelectedSubstrings:
     """Vectorized engine, output-identical to select_substrings_exact.
 
@@ -306,11 +334,8 @@ def select_substrings_fast(
 
     cp4 = contig_pos - 4
     rp4 = ref_pos - 4
-    nref = M // num_groups
 
-    for tid in range(num_groups):
-        i0 = 1 if tid == 0 else int(ref_pos[tid * nref - 1])
-        nexti = n if tid == num_groups - 1 else int(ref_pos[(tid + 1) * nref - 1])
+    for i0, nexti, ri0 in _group_spans(ref_pos, M, num_groups, start_file):
         lo = int(np.searchsorted(cand_all, i0, side="left"))
         hi = int(np.searchsorted(cand_all, nexti, side="left"))
         iv = cand_all[lo:hi]
@@ -422,7 +447,7 @@ def select_substrings_fast(
                 else:
                     start = 0
                 ci = int(ci_prev_full[q])
-                lastr = int(vri[pv]) if pv >= 0 else tid * nref
+                lastr = int(vri[pv]) if pv >= 0 else ri0
                 while ci < C and i >= contig_pos[ci] - 4:
                     if start + L + 2 >= contig_pos[ci] and exist_unique[ci]:
                         ulm[lastr] -= start + L + 3 - int(contig_pos[ci])

@@ -101,32 +101,14 @@ def _prefix_lo_hi(words: np.ndarray, h: int) -> Tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-def build_flat_index(
-    corpus_seq: np.ndarray,
-    selected: SelectedSubstrings,
-    h: int,
-    Lmax: int,
-    is_doubly: bool,
-    load_factor: float = 0.5,
-) -> FlatIndex:
-    """Pack selected substrings into a FlatIndex."""
-    kw = max(2, (Lmax + 15) // 16)
+def extract_entry_words(corpus_seq: np.ndarray,
+                        selected: SelectedSubstrings, kw: int) -> np.ndarray:
+    """2-bit-pack the selected substrings into [S, kw] uint32 key words.
+    Gathers chunked (the [S, kw*16] int64 intermediate is 512*S bytes —
+    10 GB at a 20M-entry production index).  Standalone so sharded builds
+    can extract against their LOCAL corpus slice (parallel/dist_build.py)
+    before the driver assembles the entries."""
     S = selected.size
-    if S == 0:
-        t = 8
-        return FlatIndex(
-            h=h, kw=kw,
-            key_words=np.zeros((0, kw), np.uint32),
-            length=np.zeros(0, np.int32),
-            rid1=np.zeros(0, np.int32), rid2=np.zeros(0, np.int32),
-            ucount1=np.zeros(0, np.int32), ucount2=np.zeros(0, np.int32),
-            table_lo=np.zeros(t, np.uint32), table_hi=np.zeros(t, np.uint32),
-            table_start=np.full(t, -1, np.int32), table_count=np.zeros(t, np.int32),
-            max_probes=1, max_bucket=0, is_doubly=is_doubly,
-        )
-
-    # gather substring codes chunked (the [S, kw*16] int64 intermediate is
-    # 512*S bytes - 10 GB at a 20M-entry production index)
     starts = selected.start
     lens = selected.length
     offs = np.arange(kw * 16, dtype=np.int64)
@@ -145,12 +127,61 @@ def build_flat_index(
         words[c0:c1] = np.bitwise_or.reduce(
             c32.reshape(-1, kw, 16) << shifts, axis=-1
         )
+    return words
+
+
+def _empty_flat_index(h: int, kw: int, is_doubly: bool) -> FlatIndex:
+    t = 8
+    return FlatIndex(
+        h=h, kw=kw,
+        key_words=np.zeros((0, kw), np.uint32),
+        length=np.zeros(0, np.int32),
+        rid1=np.zeros(0, np.int32), rid2=np.zeros(0, np.int32),
+        ucount1=np.zeros(0, np.int32), ucount2=np.zeros(0, np.int32),
+        table_lo=np.zeros(t, np.uint32), table_hi=np.zeros(t, np.uint32),
+        table_start=np.full(t, -1, np.int32), table_count=np.zeros(t, np.int32),
+        max_probes=1, max_bucket=0, is_doubly=is_doubly,
+    )
+
+
+def build_flat_index(
+    corpus_seq: np.ndarray,
+    selected: SelectedSubstrings,
+    h: int,
+    Lmax: int,
+    is_doubly: bool,
+    load_factor: float = 0.5,
+) -> FlatIndex:
+    """Pack selected substrings into a FlatIndex."""
+    kw = max(2, (Lmax + 15) // 16)
+    S = selected.size
+    if S == 0:
+        return _empty_flat_index(h, kw, is_doubly)
+    words = extract_entry_words(corpus_seq, selected, kw)
+    return build_flat_index_from_entries(
+        words, selected.length, selected.rid, selected.occ,
+        selected.rid2, selected.occ2, h, is_doubly, load_factor)
+
+
+def build_flat_index_from_entries(
+    words: np.ndarray, lens: np.ndarray, rid_a: np.ndarray,
+    occ_a: np.ndarray, rid_b: np.ndarray, occ_b: np.ndarray,
+    h: int, is_doubly: bool, load_factor: float = 0.5,
+) -> FlatIndex:
+    """Assemble a FlatIndex from already-extracted entries (possibly
+    concatenated from several corpus shards): canonicalize, dedupe,
+    bucket-sort, and build the open-addressing prefix table."""
+    kw = words.shape[1]
+    S = words.shape[0]
+    if S == 0:
+        return _empty_flat_index(h, kw, is_doubly)
+    lens = np.asarray(lens, np.int64)
 
     # canonicalize doubly pair orientation (the reference accepts the
     # swapped payload as consistent, src/hashtrie.cpp:74-87): smaller rid
     # first, occ counts travel with their rid
-    rid_a, occ_a = selected.rid.copy(), selected.occ.copy()
-    rid_b, occ_b = selected.rid2.copy(), selected.occ2.copy()
+    rid_a, occ_a = np.asarray(rid_a).copy(), np.asarray(occ_a).copy()
+    rid_b, occ_b = np.asarray(rid_b).copy(), np.asarray(occ_b).copy()
     if is_doubly:
         swap = (rid_b != 0) & (rid_a > rid_b)
         rid_a2 = np.where(swap, rid_b, rid_a)

@@ -328,10 +328,13 @@ def build_fused_shard(src: _MergedSource, i: int, cuts_b, e_lo, e_hi,
     if ck_log is not None:
         # real rows only: the pad key (0xFFFFFFFF, count 0) would read as
         # empty anyway, and bc rows are what the search must resolve
-        out["cuckoo"] = _build_cuckoo(pref_lo[:max(bc, 1)],
-                                      brec[:max(bc, 1), 0],
-                                      brec[:max(bc, 1), 1],
-                                      tlog=ck_log)[0]
+        from ..query.sortjoin import (BUCKET_SCAN_UNROLL,
+                                      _cuckoo_kv_from_table)
+
+        tab = _build_cuckoo(pref_lo[:max(bc, 1)], brec[:max(bc, 1), 0],
+                            brec[:max(bc, 1), 1], tlog=ck_log)[0]
+        out["cuckoo"] = (_cuckoo_kv_from_table(tab)
+                         if src.max_bucket <= BUCKET_SCAN_UNROLL else tab)
     return out, steps
 
 
@@ -420,6 +423,10 @@ class DistSortJoinSession:
                 file=sys.stderr,
             )
 
+        from ..query.sortjoin import BUCKET_SCAN_UNROLL
+
+        kv_cuckoo = src.max_bucket <= BUCKET_SCAN_UNROLL
+        self._kv_cuckoo = kv_cuckoo
         # lazy shard materialization: the callback builds ONLY the shards
         # this process addresses (single- and multi-process alike), so no
         # full padded host stack ever exists
@@ -432,7 +439,8 @@ class DistSortJoinSession:
             "brec": ((mp, nb_pad, 2), np.int32),
             "dir_start": ((mp, (1 << db) + 1), np.int32),
             "bloom": ((mp, 1 << bloom_log), np.uint32),
-            "cuckoo": ((mp, 1 << ck_log, 12), np.uint32),
+            "cuckoo": ((mp, 1 << ck_log,
+                        8 if kv_cuckoo else 12), np.uint32),
         }
         cache: dict = {}
 
@@ -467,6 +475,7 @@ class DistSortJoinSession:
 
         (h, kw, max_bucket, n_colors, db, span_steps, bloom_log,
          ck_log) = self._meta
+        kv_ck = self._kv_cuckoo
         eu, ed, mp, G, sc = self.eu, self.ed, self.mp, self.G, self.sc
 
         def local_fn(sh, codes, lengths):
@@ -478,7 +487,9 @@ class DistSortJoinSession:
                 dir_span_steps=span_steps,
                 erec=sh["erec"][0], brec=sh["brec"][0], prec=sh["prec"][0],
                 bloom=sh["bloom"][0], bloom_log=bloom_log,
-                cuckoo=sh["cuckoo"][0], cuckoo_log=ck_log,
+                cuckoo_log=ck_log,
+                **({"cuckoo_kv": sh["cuckoo"][0]} if kv_ck
+                   else {"cuckoo": sh["cuckoo"][0]}),
             )
             ms, ovh, ovs = collect_matches_sortjoin(
                 dmi, codes, lengths, hit_capacity_frac=frac, maxm=maxm)

@@ -341,6 +341,59 @@ def _cuckoo_lookup(tab, tlog: int, ck, jnp):
     return found, st, ct
 
 
+def _cuckoo_session_kwargs(tab: np.ndarray, tlog: int, max_bucket: int,
+                           jnp) -> dict:
+    """Device form of the span table: the packed kv layout (one gather
+    per side) when the unrolled bucket scan applies, else the full
+    12-word layout (the expand-path scan needs true span counts)."""
+    if max_bucket <= BUCKET_SCAN_UNROLL:
+        return {"cuckoo_kv": jnp.asarray(_cuckoo_kv_from_table(tab)),
+                "cuckoo_log": tlog}
+    return {"cuckoo": jnp.asarray(tab), "cuckoo_log": tlog}
+
+
+def _cuckoo_kv_from_table(tab: np.ndarray) -> np.ndarray:
+    """Pack the [T, 12] span table into [T, 2*CUCKOO_SLOTS] uint32 rows
+    [k0..k3, s0+1..s3+1] (0 in the start half = empty slot).  The packed
+    form drops the span COUNT: the unrolled bucket scan verifies entry
+    content, and a full content match implies an equal h-prefix hash,
+    i.e. the entry is in the probe's own bucket — so scanning a fixed
+    max_bucket entries from the span start can never produce a
+    cross-bucket match, and the count mask is redundant there.  Measured
+    motivation (benchmarks via /tmp repro, r5): column slices of a
+    gathered row fuse INTO the gather and split it — 3 slices of the
+    12-word row cost ~1.6 ms/side at K=77K vs ~1.1 ms for 2 slices of
+    an 8-word row; the count columns buy nothing the verify does not."""
+    S = CUCKOO_SLOTS
+    keys = tab[:, 0:S]
+    starts = tab[:, S:2 * S]
+    counts = tab[:, 2 * S:3 * S]
+    sp1 = np.where(counts > 0, starts + 1, 0).astype(np.uint32)
+    return np.concatenate([keys, sp1], axis=1)
+
+
+def _cuckoo_kv_lookup(kv, tlog: int, ck, max_bucket: int, jnp):
+    """(found, span_start, span_count=max_bucket) — one [2S]-word row
+    gather per hash side."""
+    S = CUCKOO_SLOTS
+
+    def side(which):
+        r = kv[_cuckoo_pos(ck, which, tlog, jnp)]        # [K, 2S] uint32
+        sp1 = r[:, S:2 * S]
+        hit = (r[:, 0:S] == ck[:, None]) & (sp1 != 0)
+        f = hit.any(axis=1)
+        st = jnp.sum(jnp.where(hit, sp1, 0), axis=1)
+        return f, st
+
+    f1, s1 = side(0)
+    f2, s2 = side(1)
+    found = f1 | f2
+    st1 = jnp.where(f1, s1, s2).astype(jnp.int32)    # start + 1, or 0
+    st = jnp.where(found, st1 - 1, 0)
+    ct = jnp.where(found, jnp.int32(max_bucket), 0)
+    return found, st, ct
+
+
 _HHI_BITS = 9  # secondary-hash width stored per bucket row
 
 # bucket scan strategy cutover: max_bucket <= this unrolls a masked
@@ -645,16 +698,20 @@ class DeviceMergedIndex:
     # blocked bloom filter over pref_lo (one-gather probe prefilter)
     bloom: Any = None
     bloom_log: int = 0
-    # cuckoo span table (two-row-gather search stage, see _build_cuckoo)
+    # cuckoo span table (two-row-gather search stage, see _build_cuckoo);
+    # cuckoo_kv is the packed one-gather-per-side form, usable when
+    # max_bucket <= BUCKET_SCAN_UNROLL (see _cuckoo_kv_from_table)
     cuckoo: Any = None
     cuckoo_log: int = 0
+    cuckoo_kv: Any = None
 
 
 # array fields passed into the jitted classifier as ARGUMENTS (a closure
 # capture would bake gigabytes of index into the executable as constants)
 _DM_ARRAYS = ("key_words", "length", "rid1", "rid2", "gid", "color",
               "pref_lo", "pref_hi", "bucket_start", "bucket_count",
-              "dir_start", "erec", "brec", "prec", "bloom", "cuckoo")
+              "dir_start", "erec", "brec", "prec", "bloom", "cuckoo",
+              "cuckoo_kv")
 _DM_STATIC = ("h", "kw", "eu", "ed", "max_bucket", "n_colors", "dir_bits",
               "dir_span_steps", "bloom_log", "cuckoo_log")
 
@@ -687,6 +744,7 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
         m.gid, m.rid1, m.rid2, np,
     )
     ck_tab, ck_log = _build_cuckoo(m.pref_lo, m.bucket_start, m.bucket_count)
+    ck_kw = _cuckoo_session_kwargs(ck_tab, ck_log, m.max_bucket, jnp)
     return DeviceMergedIndex(
         h=m.h, kw=m.kw, eu=m.eu, ed=m.ed, max_bucket=m.max_bucket,
         n_colors=m.n_colors,
@@ -695,7 +753,7 @@ def to_device_merged(m: MergedIndex) -> DeviceMergedIndex:
         dir_bits=m.dir_bits, dir_span_steps=m.dir_span_steps,
         erec=jnp.asarray(erec), brec=jnp.asarray(brec),
         prec=jnp.asarray(prec),
-        cuckoo=jnp.asarray(ck_tab), cuckoo_log=ck_log,
+        **ck_kw,
         **_bloom_kwargs(m.pref_lo, jnp, cap=BLOOM_DEVICE_LOG),
     )
 
@@ -721,8 +779,8 @@ def to_device_merged_artifact(a) -> DeviceMergedIndex:
         # back to the directory binary search rather than paying a ~30 s
         # host build at session start — index.artifact.ensure_cuckoo
         # upgrades them in place
-        bkw.update(cuckoo=jnp.asarray(np.asarray(a.cuckoo)),
-                   cuckoo_log=a.cuckoo_log)
+        bkw.update(_cuckoo_session_kwargs(np.asarray(a.cuckoo),
+                                          a.cuckoo_log, a.max_bucket, jnp))
     return DeviceMergedIndex(
         h=a.h, kw=a.kw, eu=a.eu, ed=a.ed, max_bucket=a.max_bucket,
         n_colors=a.n_colors,
@@ -870,8 +928,12 @@ def collect_matches_sortjoin(
         # fold-reduced 64 MB filter at 60M+ keys, FP ~2-4%) the
         # pre-search capacity doubles to absorb them
         fp_heavy = NB > (3 << dm.bloom_log) // 2
-        K1 = (min(max((2 if fp_heavy else 1) * K, 512), N)
-              if dm.cuckoo is not None else K)
+        have_ck = dm.cuckoo is not None or dm.cuckoo_kv is not None
+        # FP budget: the folded 64 MB filter runs at <= ~3% FP in the
+        # fp_heavy regime, so N/24 extra slots absorb the false maybes;
+        # sizing K1 to the budget (instead of 2K) keeps the cuckoo +
+        # payload gathers near the true-hit count
+        K1 = (min(K + (N // 24 if fp_heavy else 0), N) if have_ck else K)
         rows = jnp.arange(N, dtype=jnp.int32)
         fkey = jnp.where(maybe, rows, rows + BIGOFF)
         skey = jax.lax.sort([fkey], num_keys=1, is_stable=False)[0][:K1]
@@ -881,12 +943,16 @@ def collect_matches_sortjoin(
             return _cut_out(cv, cpos)
         # exact membership on the K1 survivors
         ck = khlo[jnp.maximum(cpos, 0)]
-        if dm.cuckoo is not None:
-            # cuckoo span table: two independent row gathers replace the
+        if dm.cuckoo_kv is not None or dm.cuckoo is not None:
+            # cuckoo span table: independent row gathers replace the
             # dir_span_steps dependent binary-search rounds AND the brec
             # span gather (the span rides in the table cells)
-            realf, cstart_k, ccnt_k = _cuckoo_lookup(
-                dm.cuckoo, dm.cuckoo_log, ck, jnp)
+            if dm.cuckoo_kv is not None:
+                realf, cstart_k, ccnt_k = _cuckoo_kv_lookup(
+                    dm.cuckoo_kv, dm.cuckoo_log, ck, dm.max_bucket, jnp)
+            else:
+                realf, cstart_k, ccnt_k = _cuckoo_lookup(
+                    dm.cuckoo, dm.cuckoo_log, ck, jnp)
             real = cv & realf
             if cut == "search":
                 return _cut_out(real, cstart_k)
@@ -1046,7 +1112,7 @@ def collect_matches_sortjoin(
         cstart = jnp.where(cv, crec[:, 0], 0)
         ccnt = jnp.where(cv, crec[:, 1], 0)
     n_hits = jnp.sum(probe_hit.astype(jnp.int32))
-    if use_bloom and dm.cuckoo is not None:
+    if use_bloom and (dm.cuckoo is not None or dm.cuckoo_kv is not None):
         # two-stage accounting: bloom-maybes beyond K1, plus confirmed
         # candidates beyond K (extra_overflow from the recompaction)
         overflow_hits = jnp.maximum(n_hits - K1, 0) + extra_overflow
@@ -1142,12 +1208,29 @@ def collect_matches_sortjoin(
     # overflow: both mean candidates went unscanned
     overflow_hits = overflow_hits + overflow_work
 
-    # match payloads at candidate granularity: one [K*NC, 3] row-gather
+    # ---- match compaction: most of the [K, NC] found slots are empty
+    # (avg matched colors per candidate ~1 and only ~hit-rate of K are
+    # candidates at all), and the payload row-gather hits the multi-GB
+    # prec operand where per-row cost is ~30 ns — so compact found slots
+    # to KP first with one cheap 1-key sort, then gather payloads for KP
+    # rows only.  KP = K + K//4 covers every candidate matching one color
+    # plus slack for multi-color matches; beyond that is an overflow
+    # (auto-widen), counted exactly below.
     prec = dm.prec if dm.prec is not None else jnp.stack(
         [dm.gid, dm.rid1, dm.rid2], axis=-1)
-    fr = found[:, :NC].reshape(-1)                    # [K*NC]
+    frf = found[:, :NC].reshape(-1)                   # [K*NC]
+    KNC = frf.shape[0]
+    KP = min(K + K // 4 + 256, KNC)
+    rows3 = jnp.arange(KNC, dtype=jnp.int32)
+    pkey = jnp.where(frf >= 0, rows3, rows3 + BIGOFF)
+    spkey = jax.lax.sort([pkey], num_keys=1, is_stable=False)[0][:KP]
+    pv = spkey < BIGOFF
+    slot3 = jnp.where(pv, spkey, 0)
+    fr = jnp.where(pv, frf[slot3], -1)                # [KP]
+    n_match = jnp.sum((frf >= 0).astype(jnp.int32))
+    overflow_hits = overflow_hits + jnp.maximum(n_match - KP, 0)
     hitf = fr >= 0
-    pr = prec[jnp.maximum(fr, 0)]
+    pr = prec[jnp.maximum(fr, 0)]                     # [KP, 3] row-gather
     m_gid = jnp.where(hitf, pr[:, 0], BIG)
     m_r1 = jnp.where(hitf, pr[:, 1], 0)
     m_r2 = jnp.where(hitf, pr[:, 2], 0)
@@ -1156,7 +1239,7 @@ def collect_matches_sortjoin(
 
     # ---- assemble per-read distinct slots [B, maxm]
     read_of = jnp.where(cvalid, r2, B)                # B = padded row
-    m_read = jnp.broadcast_to(read_of[:, None], (K, NC)).reshape(-1)
+    m_read = read_of[slot3 // NC]                     # [KP]
     m_read = jnp.where(m_gid < BIG, m_read, B)
     # unstable: duplicate (read, gid) rows carry identical payloads
     sread, sgid, sr1, sr2 = jax.lax.sort(

@@ -243,8 +243,9 @@ def test_bloom_join_cuckoo_matches_binary_search():
 
     art, rs, G = make_dist_fixture(seed=17)
     dm = to_device_merged(build_merged_index(art.unique_index, art.doubly_index))
-    assert dm.cuckoo is not None
-    dm_nock = dataclasses.replace(dm, cuckoo=None, cuckoo_log=0)
+    assert dm.cuckoo is not None or dm.cuckoo_kv is not None
+    dm_nock = dataclasses.replace(dm, cuckoo=None, cuckoo_kv=None,
+                                  cuckoo_log=0)
     codes = jnp.asarray(rs.codes)
     lengths = jnp.asarray(rs.lengths)
     a, ovh_a, _ = collect_matches_sortjoin(dm, codes, lengths, join="bloom",
