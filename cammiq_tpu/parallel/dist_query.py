@@ -463,11 +463,12 @@ class DistSortJoinSession:
         self._shards = {k: make(k, s, d) for k, (s, d) in shapes.items()}
         cache.clear()
 
-    def _get_fn(self, frac: int, maxm: int):
-        key = (frac, maxm)
+    def _get_fn(self, frac: int, maxm: int, with_rcounts: bool = True):
+        key = (frac, maxm, with_rcounts)
         if key in self._fns:
             return self._fns[key]
         import jax
+        import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
 
         from ..query.classify import MatchSlots, case_analysis, rcounts_from_case
@@ -501,12 +502,20 @@ class DistSortJoinSession:
             cnts_d = jax.lax.psum(case.cnts_d, ("data", "model")) // mp
             nundet = jax.lax.psum(case.nundet, ("data", "model")) // mp
             nconf = jax.lax.psum(case.nconf, ("data", "model")) // mp
-            rcu = jax.lax.psum(
-                rcounts_from_case(case, 0, max(eu, 1)), ("data", "model")
-            ) // mp
-            rcd = jax.lax.psum(
-                rcounts_from_case(case, eu, max(ed, 1)), ("data", "model")
-            ) // mp
+            if with_rcounts:
+                # NOTE: this is an E-sized collective per batch (~250 MB
+                # at the 61M-entry index); benchmarks/dist_perf.py
+                # measures its cost separately — identification (sc)
+                # passes and rcount-free stages skip it entirely
+                rcu = jax.lax.psum(
+                    rcounts_from_case(case, 0, max(eu, 1)), ("data", "model")
+                ) // mp
+                rcd = jax.lax.psum(
+                    rcounts_from_case(case, eu, max(ed, 1)), ("data", "model")
+                ) // mp
+            else:
+                rcu = jnp.zeros(1, jnp.int32)
+                rcd = jnp.zeros(1, jnp.int32)
             ovh = jax.lax.psum(ovh, ("data", "model"))
             ovs = jax.lax.psum(ovs, ("data", "model"))
             return (cnts_u, cnts_d, rcu, rcd, nundet, nconf,
@@ -538,7 +547,8 @@ class DistSortJoinSession:
             codes = jnp.asarray(codes)
         if not isinstance(lengths, jax.Array):
             lengths = jnp.asarray(lengths)
-        out = self._get_fn(self._frac, self._maxm)(self._shards, codes, lengths)
+        out = self._get_fn(self._frac, self._maxm, with_rcounts)(
+            self._shards, codes, lengths)
         (cnts_u, cnts_d, rcu, rcd, nundet, nconf, pair_lo, pair_hi,
          ovh, ovs) = out
         return (
