@@ -53,6 +53,11 @@ def main():
             + " --xla_force_host_platform_device_count=8")
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # this machine's site customization pins jax_platforms to the
+        # axon TPU tunnel regardless of the env var; override explicitly
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh
 

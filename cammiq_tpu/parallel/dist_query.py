@@ -503,19 +503,19 @@ class DistSortJoinSession:
             nundet = jax.lax.psum(case.nundet, ("data", "model")) // mp
             nconf = jax.lax.psum(case.nconf, ("data", "model")) // mp
             if with_rcounts:
-                # NOTE: this is an E-sized collective per batch (~250 MB
-                # at the 61M-entry index); benchmarks/dist_perf.py
-                # measures its cost separately — identification (sc)
-                # passes and rcount-free stages skip it entirely
-                rcu = jax.lax.psum(
-                    rcounts_from_case(case, 0, max(eu, 1)), ("data", "model")
-                ) // mp
-                rcd = jax.lax.psum(
-                    rcounts_from_case(case, eu, max(ed, 1)), ("data", "model")
-                ) // mp
+                # DEFERRED reduction: rcounts leave as per-DATA-shard
+                # partials ([1, E] per device, model-replicated since the
+                # case analysis runs on the all_gathered matches) — a
+                # per-batch E-sized psum here measured 9x the batch cost
+                # on the virtual mesh (benchmarks/dist_perf.py) and would
+                # move ~250 MB/batch over ICI at the 61M-entry index; the
+                # caller accumulates the sharded partials and reduces
+                # ONCE per query pass
+                rcu = rcounts_from_case(case, 0, max(eu, 1))[None, :]
+                rcd = rcounts_from_case(case, eu, max(ed, 1))[None, :]
             else:
-                rcu = jnp.zeros(1, jnp.int32)
-                rcd = jnp.zeros(1, jnp.int32)
+                rcu = jnp.zeros((1, 1), jnp.int32)
+                rcd = jnp.zeros((1, 1), jnp.int32)
             ovh = jax.lax.psum(ovh, ("data", "model"))
             ovs = jax.lax.psum(ovs, ("data", "model"))
             return (cnts_u, cnts_d, rcu, rcd, nundet, nconf,
@@ -525,8 +525,8 @@ class DistSortJoinSession:
         fn = shard_map_fn(
             self.mesh, local_fn,
             in_specs=(spec_sh, P("data", None), P("data")),
-            out_specs=(P(), P(), P(), P(), P(), P(), P("data"), P("data"),
-                       P(), P()),
+            out_specs=(P(), P(), P("data", None), P("data", None), P(),
+                       P(), P("data"), P("data"), P(), P()),
         )
         import jax as _jax
 
@@ -554,8 +554,10 @@ class DistSortJoinSession:
         return (
             BatchCounts(
                 cnts_u=cnts_u, cnts_d=cnts_d,
-                rcount_u=rcu[: self.eu],
-                rcount_d=rcd[: self.ed],
+                # [dp, E] per-data-shard partials (deferred reduction;
+                # sum over axis 0 once per pass)
+                rcount_u=rcu[:, : self.eu],
+                rcount_d=rcd[:, : self.ed],
                 nundet=nundet, nconf=nconf,
                 pair_lo=pair_lo, pair_hi=pair_hi,
             ),
@@ -602,7 +604,8 @@ class DistSortJoinSession:
             pair_hi = multihost_utils.process_allgather(pair_hi, tiled=True)
         return BatchCounts(
             cnts_u=np.asarray(cnts_u), cnts_d=np.asarray(cnts_d),
-            rcount_u=np.asarray(rcu)[: self.eu], rcount_d=np.asarray(rcd)[: self.ed],
+            rcount_u=np.asarray(rcu)[:, : self.eu].sum(axis=0),
+            rcount_d=np.asarray(rcd)[:, : self.ed].sum(axis=0),
             nundet=int(nundet), nconf=int(nconf),
             pair_lo=np.asarray(pair_lo), pair_hi=np.asarray(pair_hi),
         )

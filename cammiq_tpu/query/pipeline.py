@@ -317,12 +317,18 @@ class QuerySession:
         pair_keys = self._pair_keys() if sc_mode else None
         n_pairs = int(pair_keys[0].shape[0]) if sc_mode else 0
 
+        rc_shape = ((self.mesh.shape["data"],)
+                    if (self.mesh is not None
+                        and self.engine == "sortjoin-dist") else ())
+
         def _zeros():
             return dict(
                 cnts_u=jnp.zeros(G, jnp.int32),
                 cnts_d=jnp.zeros(G, jnp.int32),
-                rcount_u=jnp.zeros(self.num_entries_u, jnp.int32),
-                rcount_d=jnp.zeros(self.num_entries_d, jnp.int32),
+                rcount_u=jnp.zeros(rc_shape + (self.num_entries_u,),
+                                   jnp.int32),
+                rcount_d=jnp.zeros(rc_shape + (self.num_entries_d,),
+                                   jnp.int32),
                 nundet=jnp.zeros((), jnp.int32),
                 nconf=jnp.zeros((), jnp.int32),
                 ovh=jnp.zeros((), jnp.int32),
@@ -337,9 +343,16 @@ class QuerySession:
             # device sets
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            acc = jax.jit(
-                _zeros, out_shardings=NamedSharding(self.mesh, P())
-            )()
+            shardings = {k: NamedSharding(self.mesh, P())
+                         for k in _zeros()}
+            if rc_shape:
+                # rcount partials stay data-sharded (one [1, E] block per
+                # data shard) until the end-of-pass reduction
+                shardings["rcount_u"] = NamedSharding(self.mesh,
+                                                      P("data", None))
+                shardings["rcount_d"] = NamedSharding(self.mesh,
+                                                      P("data", None))
+            acc = jax.jit(_zeros, out_shardings=shardings)()
         else:
             acc = _zeros()
         pair_counts: Dict[Tuple[int, int], int] = {}
@@ -349,8 +362,10 @@ class QuerySession:
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                 with_rcounts=not sc_mode, sc_mode=sc_mode,
             )
-            rcu = out.rcount_u[: self.num_entries_u]
-            rcd = out.rcount_d[: self.num_entries_d]
+            # dist engine: [dp, E] per-data-shard partials (deferred
+            # rcount reduction); single-device: [E]
+            rcu = out.rcount_u[..., : self.num_entries_u]
+            rcd = out.rcount_d[..., : self.num_entries_d]
             pk_lo, pk_hi = (pair_keys if n_pairs
                             else (jnp.zeros(0, jnp.int32),) * 2)
             acc = step(acc, pk_lo, pk_hi,
@@ -359,6 +374,9 @@ class QuerySession:
                        jnp.asarray(ovh), jnp.asarray(ovs),
                        out.pair_lo, out.pair_hi)
         host = jax.device_get(acc)   # the ONE blocking transfer per pass
+        if host["rcount_u"].ndim == 2:   # deferred dist partials
+            host["rcount_u"] = host["rcount_u"].sum(axis=0)
+            host["rcount_d"] = host["rcount_d"].sum(axis=0)
         if int(host["ovh"]) or int(host["ovs"]):
             self._widen(int(host["ovh"]), int(host["ovs"]))
             return None

@@ -16,7 +16,7 @@ from cammiq_tpu.models.ident import solve_ident
 from cammiq_tpu.models.quant import build_problem, solve_quant
 
 from quant_oracle import oracle_miqp
-from test_quant_exact import make_instance
+from test_quant_exact import fake_index, make_instance
 
 
 def test_quant_beyond_enum_cap():
@@ -161,3 +161,62 @@ def test_ident_node_budget_falls_back_to_greedy():
     exist, _ = solve_ident(cnts_u, cnts_d, pair_counts, fine, max_nodes=50)
     for (a, b), c in pair_counts.items():
         assert exist[a] or exist[b]
+
+
+def test_quant_bnb_exact_at_forty_free():
+    """Certified B&B at the realized-in-repo scale (n_free ~ 40, the
+    test_scale 50-genome regime, r4 VERDICT item 2): a SEPARABLE planted
+    instance whose exact MIQP optimum is closed-form — each genome's
+    in/out decision is independent (no doubly coupling, slack TOTAL
+    row), so the oracle is per-genome arithmetic even where 2^40 subset
+    enumeration is impossible.  The solver must return exactly the
+    planted selection with the B&B certificate."""
+    import warnings
+
+    from cammiq_tpu.config import FineParams
+
+    rng = np.random.default_rng(77)
+    n_sp = 42
+    n = n_sp + 1
+    per = 2
+    rid1 = np.repeat(np.arange(1, n), per)
+    uc1 = np.ones(len(rid1), np.int64)
+    lens = np.full(len(rid1), 30, np.int64)
+    index_u = fake_index(rid1, np.zeros_like(rid1), uc1,
+                         np.zeros_like(uc1), lens, False)
+    rl = 100
+    w = 1.0 * (rl - 30) / rl            # wcov per entry (uc=1, e=0)
+    # planted: ~half the genomes have strong counts (optimum includes
+    # them at x*=r/w), the rest have zero counts (optimum excludes:
+    # including costs (0.01 w)^2 per entry > 0)
+    present = rng.random(n) < 0.5
+    present[0] = False
+    xstar = np.where(present, rng.uniform(0.5, 3.0, n), 0.0)
+    rc_u = w * xstar[rid1]              # exact, noise-free
+    cnts_u = np.zeros(n)
+    np.add.at(cnts_u, rid1, rc_u)
+    cnts_d = np.zeros(n)
+    nus = np.full(n, 10.0)
+    nds = np.zeros(n)
+    glength = np.full(n, 1000, np.int64)
+    glength[0] = 0
+    # TOTAL row slack by construction; easy_thres huge => no EXP1 lower
+    # bounds => every candidate with cnts>=thres*alpha stays FREE
+    fine = FineParams(read_cnt_thres=0, easy_to_identify_thres=10**9,
+                      ilp_epsilon=0.01, ilp_alpha=0.0, max_cov=100.0)
+    prob = build_problem(
+        index_u, None, rc_u, np.zeros(0), cnts_u, cnts_d, nus, nds,
+        glength, rl, 10**6, 0.0, fine)
+    n_free = int((prob.exist0 & ~(prob.lb > 0)).sum())
+    assert n_free >= 40, f"instance must realize n_free >= 40, got {n_free}"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # 'not proven exact' is a fail
+        exist, cov, info = solve_quant(prob, iters=1500, outer=4,
+                                       enum_cap=6, enum_iters=300)
+    assert info["exhaustive"], info
+    assert info["stopped_by"] == "bnb", info
+    got = set(np.nonzero(exist)[0].tolist())
+    want = set(np.nonzero(present)[0].tolist())
+    assert got == want, (sorted(got ^ want), info)
+    sel = exist & (xstar > 0)
+    assert np.allclose(cov[sel], xstar[sel], atol=5e-3)
