@@ -111,21 +111,30 @@ def main():
     nus = meta("unique_lmer_count_u.out")
     nds = meta("unique_lmer_count_d.out")
     up, dp = art.payloads()
-    fine = FineParams()
-    prob = build_problem(up, dp, rcu, rcd, cnts_u.astype(float),
-                         cnts_d.astype(float), nus, nds, glength, 100,
-                         B * args.batches, 0.01, fine)
-    forced = prob.exist0 & (prob.lb > 0)
-    n_free = int((prob.exist0 & ~forced).sum())
     res = {"genomes": args.genomes, "present": args.present,
-           "reads": B * args.batches,
-           "candidates": int(prob.exist0.sum()),
-           "forced": int(forced.sum()), "realized_n_free": n_free}
+           "reads": B * args.batches}
+    # default reference prefilter AND the hole-structure stress variant:
+    # the synthetic pool corpus has almost no doubly-unique content, so
+    # the faithful doubly-count test zeroes every candidate (the
+    # reference would too on this DB); the stress variant disables it
+    # to measure how many EXIST holes a 4000-genome mixture realizes
+    for tag, fine in (("default", FineParams()),
+                      ("stress", FineParams(read_cnt_thres=1,
+                                            easy_to_identify_thres=10**9,
+                                            ilp_alpha=1e-9))):
+        prob = build_problem(up, dp, rcu, rcd, cnts_u.astype(float),
+                             cnts_d.astype(float), nus, nds, glength, 100,
+                             B * args.batches, 0.01, fine)
+        forced = prob.exist0 & (prob.lb > 0)
+        n_free = int((prob.exist0 & ~forced).sum())
+        res[f"{tag}_candidates"] = int(prob.exist0.sum())
+        res[f"{tag}_forced"] = int(forced.sum())
+        res[f"{tag}_n_free"] = n_free
     if args.solve:
         t1 = time.time()
-        exist, cov, info = solve_quant(prob)
-        res.update(solver_exhaustive=bool(info["exhaustive"]),
-                   stopped_by=info["stopped_by"],
+        exist, cov, info = solve_quant(prob)   # the stress problem
+        res.update(solver_exhaustive=bool(info.get("exhaustive", True)),
+                   stopped_by=info.get("stopped_by", "no_candidates"),
                    selected=int(exist.sum()),
                    solve_s=round(time.time() - t1, 1))
     js = json.dumps(res)

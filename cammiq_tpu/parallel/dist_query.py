@@ -602,10 +602,19 @@ class DistSortJoinSession:
 
             pair_lo = multihost_utils.process_allgather(pair_lo, tiled=True)
             pair_hi = multihost_utils.process_allgather(pair_hi, tiled=True)
+        # reduce the deferred [dp, E] rcount partials ON DEVICE to a
+        # replicated [E] (a host-side sum would need non-addressable
+        # shards under multi-process meshes)
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        red = jax.jit(lambda x: x.sum(axis=0),
+                      out_shardings=NamedSharding(self.mesh, _P()))
+        rcu = red(rcu)
+        rcd = red(rcd)
         return BatchCounts(
             cnts_u=np.asarray(cnts_u), cnts_d=np.asarray(cnts_d),
-            rcount_u=np.asarray(rcu)[:, : self.eu].sum(axis=0),
-            rcount_d=np.asarray(rcd)[:, : self.ed].sum(axis=0),
+            rcount_u=np.asarray(rcu)[: self.eu],
+            rcount_d=np.asarray(rcd)[: self.ed],
             nundet=int(nundet), nconf=int(nconf),
             pair_lo=np.asarray(pair_lo), pair_hi=np.asarray(pair_hi),
         )

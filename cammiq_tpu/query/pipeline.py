@@ -373,10 +373,17 @@ class QuerySession:
                        out.nundet, out.nconf,
                        jnp.asarray(ovh), jnp.asarray(ovs),
                        out.pair_lo, out.pair_hi)
+        if rc_shape:
+            # reduce the deferred per-data-shard rcount partials on
+            # device (replicated output is addressable from every
+            # process; the host cannot sum non-addressable shards)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            red = jax.jit(lambda x: x.sum(axis=0),
+                          out_shardings=NamedSharding(self.mesh, P()))
+            acc = dict(acc, rcount_u=red(acc["rcount_u"]),
+                       rcount_d=red(acc["rcount_d"]))
         host = jax.device_get(acc)   # the ONE blocking transfer per pass
-        if host["rcount_u"].ndim == 2:   # deferred dist partials
-            host["rcount_u"] = host["rcount_u"].sum(axis=0)
-            host["rcount_d"] = host["rcount_d"].sum(axis=0)
         if int(host["ovh"]) or int(host["ovs"]):
             self._widen(int(host["ovh"]), int(host["ovs"]))
             return None

@@ -958,15 +958,24 @@ def collect_matches_sortjoin(
                 return _cut_out(real, cstart_k)
             # ---- recompaction: only cuckoo-CONFIRMED candidates reach
             # the bucket scan / payload / collect stages, so bloom FPs
-            # cost one K1 slot + one cheap row-gather, nothing more
+            # cost one K1 slot + one cheap row-gather, nothing more.
+            # Survivors sort by SPAN START, not probe order: the later
+            # erec/prec row-gathers then walk the big operands
+            # quasi-sequentially.  Measured NEUTRAL on this chip's
+            # gather issue when uncontended (and it saves one K1-sized
+            # gather: the sorted key IS cstart), but locality can only
+            # help on HBM-bandwidth-bound backends; candidate order is
+            # free since collect re-sorts by (read, gid)
             rows1 = jnp.arange(K1, dtype=jnp.int32)
-            fkey2 = jnp.where(real, rows1, rows1 + BIGOFF)
-            skey2 = jax.lax.sort([fkey2], num_keys=1, is_stable=False)[0][:K]
+            fkey2 = jnp.where(real, cstart_k, BIGOFF)
+            skey2, sslot = jax.lax.sort([fkey2, rows1], num_keys=1,
+                                        is_stable=False)
+            skey2, sslot = skey2[:K], sslot[:K]
             cv = skey2 < BIGOFF
-            sel = jnp.where(cv, skey2, 0)
+            sel = jnp.where(cv, sslot, 0)
             cpos = jnp.where(cv, cpos[sel], -1)
             cbid = None
-            span_pre = (jnp.where(cv, cstart_k[sel], 0),
+            span_pre = (jnp.where(cv, skey2, 0),
                         jnp.where(cv, ccnt_k[sel], 0))
             # exact overflow accounting: found beyond K is lost work (the
             # maybe > K1 term below covers pre-search loss)
