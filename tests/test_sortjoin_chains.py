@@ -176,3 +176,85 @@ def test_tiny_batch_capacity_clamp(chain_setup):
     np.testing.assert_array_equal(np.asarray(got.cnts_u), np.asarray(base.cnts_u))
     np.testing.assert_array_equal(
         np.asarray(got.rcount_u), np.asarray(base.rcount_u))
+
+
+def test_four_color_chain_bloom_equals_sort():
+    """Force a 4-deep prefix chain (fwd-u ⊂ fwd-d ⊂ rc-u ⊂ rc-d) so
+    n_colors >= 4 and the bucket scan's per-color select path (the
+    production #5 regime, COLOR_SELECT_UNROLL) is equality-tested
+    against the sort join — previously only n_colors=2 fixtures
+    existed."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cammiq_tpu.index.table import build_flat_index_from_entries
+    from cammiq_tpu.query.sortjoin import (build_merged_index,
+                                           collect_matches_sortjoin,
+                                           to_device_merged)
+
+    rng = np.random.default_rng(123)
+    h = 26
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+
+    def rc(codes):
+        return [comp[c] for c in reversed(codes)]
+
+    def pack(codes, kw):
+        w = [0] * kw
+        for i, c in enumerate(codes):
+            w[i // 16] |= (c & 3) << (2 * (i % 16))
+        return w
+
+    P1 = list(rng.integers(0, 4, h))
+    P2 = P1 + [1, 2]                       # fwd doubly key, P1 prefix
+    K3 = P2 + [0, 3]                       # = rc of a unique entry
+    K4 = P2 + [0, 3, 2, 1]                 # = rc of a doubly entry
+    u_keys = [P1, rc(K3)]
+    d_keys = [P2, rc(K4)]
+    # random filler so buckets/bloom have content
+    for _ in range(40):
+        u_keys.append(list(rng.integers(0, 4, int(rng.integers(h, 34)))))
+    kw = 4
+    def table(keys, is_doubly):
+        words = np.asarray([pack(k, kw) for k in keys], np.uint32)
+        lens = np.asarray([len(k) for k in keys], np.int64)
+        n = len(keys)
+        rid1 = np.arange(1, n + 1, dtype=np.int64)
+        rid2 = (np.arange(2, n + 2, dtype=np.int64)
+                if is_doubly else np.zeros(n, np.int64))
+        uc = np.ones(n, np.int64)
+        return build_flat_index_from_entries(
+            words, lens, rid1, uc, rid2, uc, h, is_doubly)
+
+    idx_u = table(u_keys, False)
+    idx_d = table(d_keys, True)
+    m = build_merged_index(idx_u, idx_d)
+    assert m.n_colors >= 4, f"chain construction failed: {m.n_colors}"
+    dm = to_device_merged(m)
+    assert dm.cuckoo_kv is not None or dm.cuckoo is not None
+
+    # reads embedding the chained strings (every chain member matches at
+    # the same offset on some strand) + random filler
+    B, L = 64, 100
+    reads = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    for b, s in enumerate([K4, K3, P2, P1, rc(K4), rc(P1)] * 4):
+        off = int(rng.integers(0, L - len(s)))
+        reads[b, off:off + len(s)] = s
+    lengths = np.full(B, L, np.int32)
+    cd, ld = jnp.asarray(reads), jnp.asarray(lengths)
+
+    a, ovh_a, _ = collect_matches_sortjoin(dm, cd, ld, join="bloom",
+                                           hit_capacity_frac=1)
+    dm_sort = dataclasses.replace(dm, bloom=None, cuckoo=None,
+                                  cuckoo_kv=None, dir_start=None)
+    b_, ovh_b, _ = collect_matches_sortjoin(dm_sort, cd, ld, join="sort",
+                                            hit_capacity_frac=1)
+    assert int(ovh_a) == 0 and int(ovh_b) == 0
+    for f in ("slots", "rid1", "rid2", "in_u"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b_, f)),
+                                      err_msg=f)
+    # the deepest chain member must actually produce 4 distinct matches
+    # at one offset for some read (the whole point of the colors)
+    assert int((np.asarray(a.slots)[0] < (1 << 30)).sum()) >= 4
