@@ -203,7 +203,11 @@ def main():
     # On overflow, widen capacity like QuerySession._widen and recompile.
     from cammiq_tpu.query.sortjoin import make_sortjoin_classifier as _mk
 
-    frac, maxm = 32, 16   # pipeline defaults; warmup widens on overflow
+    # seed capacity from index density like QuerySession does (the
+    # 61-77M-row indexes measurably need frac=16; starting at 32 just
+    # burns one guaranteed overflow -> recompile cycle per fresh run)
+    frac = 16 if (not toy and artifact.NB > (1 << 25)) else 32
+    maxm = 16             # warmup widens on overflow either way
     tc = time.time()
     while True:
         classify = _mk(dm, G, hit_capacity_frac=frac, maxm=maxm)
