@@ -207,7 +207,11 @@ def main():
     # 61-77M-row indexes measurably need frac=16; starting at 32 just
     # burns one guaranteed overflow -> recompile cycle per fresh run)
     frac = 16 if (not toy and artifact.NB > (1 << 25)) else 32
-    maxm = 16             # warmup widens on overflow either way
+    # maxm stays 16 (pipeline default): production mixes realize <= 7
+    # distinct matches/read (mean 1.6) so maxm=8 is capacity-safe, but
+    # it measured +1% at configs #3/#4 and -3% at #5 — not worth
+    # diverging from the product session's shape
+    maxm = 16
     tc = time.time()
     while True:
         classify = _mk(dm, G, hit_capacity_frac=frac, maxm=maxm)
