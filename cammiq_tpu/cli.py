@@ -194,7 +194,30 @@ def run_build(a: dict) -> None:
         files = list_fasta_dir(a["fa_dir"])
     else:
         _err("Please specify a map file (-f) or fasta directory (-D).")
-    corpus = build_corpus(files)
+    hosts = a.get("build_hosts", 0)
+    use_dist = hosts > 1 and not (cfg.occ_u8_wrap or cfg.unique_if_advance)
+    if use_dist:
+        from . import native as _native
+
+        use_dist = _native.available() and _native.has_bsort()
+    wd = None
+    if use_dist:
+        # memory-honest cross-host pipeline: the corpus STREAMS to disk
+        # (the driver holds O(largest contig)), then sharded sort +
+        # distributed merge + chunk-carried sweeps + per-shard
+        # selection; identical index to
+        # build_index(num_groups=min(hosts,4,M)) (the text shards ARE
+        # the reference's per-thread selection groups)
+        import tempfile
+
+        from .io.fasta import build_corpus_streaming
+        from .parallel.dist_build import dist_build_index
+
+        wd = tempfile.mkdtemp(prefix="cammiq_dist_")
+        corpus = build_corpus_streaming(
+            files, os.path.join(wd, "src_corpus.bin"))
+    else:
+        corpus = build_corpus(files)
     print(
         f"****************************\n"
         f"Total num bases: {corpus.n}\n"
@@ -203,25 +226,8 @@ def run_build(a: dict) -> None:
         f"****************************",
         file=sys.stderr,
     )
-    hosts = a.get("build_hosts", 0)
-    if hosts > 1 and not (cfg.occ_u8_wrap or cfg.unique_if_advance):
-        # memory-honest cross-host pipeline: sharded sort + distributed
-        # merge + chunk-carried sweeps + per-shard selection; identical
-        # index to build_index(num_groups=min(hosts,4,M)) (the text
-        # shards ARE the reference's per-thread selection groups)
-        from . import native as _native
-
-        if _native.available() and _native.has_bsort():
-            import tempfile
-
-            from .parallel.dist_build import dist_build_index
-
-            with tempfile.TemporaryDirectory(prefix="cammiq_dist_") as wd:
-                art, rss = dist_build_index(corpus, cfg, hosts, wd,
-                                            verbose=True)
-        else:
-            art = build_index(corpus, cfg, engine=a["engine"], verbose=True,
-                              sa_hosts=hosts)
+    if use_dist:
+        art, rss = dist_build_index(corpus, cfg, hosts, wd, verbose=True)
     else:
         art = build_index(corpus, cfg, engine=a["engine"], verbose=True,
                           sa_hosts=hosts)
@@ -252,6 +258,11 @@ def run_build(a: dict) -> None:
         write_meta_outputs(art, a["merged"])
         print(f"Merged query artifact written to {a['merged']}.",
               file=sys.stderr)
+    if wd is not None:
+        import shutil
+
+        del art, corpus   # drop the memmap handles before removing
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 def run_query(a: dict) -> None:

@@ -209,6 +209,21 @@ def dist_bounded_sa(seq: np.ndarray, depth: int, hosts: int,
 import os
 
 
+def _sample_keys(seq, samp: np.ndarray, depth: int, n: int):
+    """Bounded keys for a FEW sampled positions via direct window
+    extraction — _pack_keys would concatenate a full-corpus copy, which
+    the streaming-corpus driver must never do."""
+    d8 = (depth + 7) // 8
+    rows = np.zeros((len(samp), d8 * 8), np.uint8)
+    for i, p in enumerate(np.asarray(samp, np.int64)):
+        w = np.asarray(seq[p:min(p + depth, n)])
+        rows[i, : w.shape[0]] = w
+    rows[:, depth:] = 0
+    words = rows.view(">u8").reshape(rows.shape[0], d8)
+    lens = np.minimum(n - np.asarray(samp, np.int64), depth)
+    return words, lens
+
+
 def _maxrss_mb() -> float:
     import resource
 
@@ -248,8 +263,8 @@ def _p1_worker(args):
     (wd, h, start, stop, depth, n, spl_w, spl_l, hosts) = args
     from .. import native
 
-    sub = np.load(os.path.join(wd, "corpus.npy"), mmap_mode="r")[
-        start:min(stop + depth, n)]
+    sub = np.memmap(os.path.join(wd, "corpus.bin"), dtype=np.uint8,
+                    mode="r")[start:min(stop + depth, n)]
     sub = np.ascontiguousarray(sub)
     sa = native.bounded_sa(sub, depth)
     keep = sa < (stop - start)
@@ -342,8 +357,8 @@ def _p4_worker(args):
     L, Lmax, h, h_doubly, mode, num_groups = (
         cfg_d["L"], cfg_d["Lmax"], cfg_d["h"], cfg_d["h_doubly"],
         cfg_d["mode"], cfg_d["num_groups"])
-    seq = np.asarray(np.load(os.path.join(wd, "corpus.npy"),
-                             mmap_mode="r")[base:hi])
+    seq = np.asarray(np.memmap(os.path.join(wd, "corpus.bin"),
+                               dtype=np.uint8, mode="r")[base:hi])
     if pad:
         seq = np.concatenate([np.zeros(pad, np.uint8), seq])
     cp = np.asarray(contig_pos, np.int64)
@@ -433,12 +448,19 @@ def dist_build_index(corpus, cfg, hosts: int, workdir: str,
     hosts = max(1, min(hosts, max(n // (4 * depth), 1)))
     rss = {}
 
-    # P0: corpus text to disk + splitters from per-slice samples
-    np.save(os.path.join(workdir, "corpus.npy"), corpus.seq)
+    # P0: corpus text to disk (chunked: the seq may itself be a memmap
+    # from io.fasta.build_corpus_streaming, so the driver never holds the
+    # full text) + splitters from sampled key windows (window extraction,
+    # NOT _pack_keys, which would materialize a full-corpus copy)
+    cpath = os.path.join(workdir, "corpus.bin")
+    with open(cpath, "wb") as f:
+        CH = 1 << 26
+        for a in range(0, n, CH):
+            f.write(np.ascontiguousarray(corpus.seq[a:a + CH]).tobytes())
     cuts = [n * i // hosts for i in range(hosts + 1)]
     rng = np.random.default_rng(0xD157)
     samp = np.sort(rng.integers(0, n, 64 * hosts).astype(np.int64))
-    sw, sl = _pack_keys(corpus.seq, samp, depth)
+    sw, sl = _sample_keys(corpus.seq, samp, depth, n)
     order = np.lexsort(tuple(sw[:, c] for c in range(sw.shape[1] - 1, -1, -1))
                        + (sl,))
     spl_idx = [order[(i + 1) * len(order) // hosts] for i in range(hosts - 1)]

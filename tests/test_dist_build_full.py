@@ -101,3 +101,53 @@ def test_dist_full_processes_rss_scaling():
             f"baseline exceeds budget {budget_mb:.0f} MB ({rss})")
     # halving the shard size must show up in the baseline-corrected peaks
     assert peaks[4] <= 0.7 * peaks[2], peaks
+
+
+def test_streaming_corpus_matches_in_memory(tmp_path):
+    """io.fasta.build_corpus_streaming must be byte-identical to
+    build_corpus (same seq bytes, contig/ref tables) — it is the
+    memory-honest driver entry of the cross-host build."""
+    import os
+
+    from cammiq_tpu.io.fasta import build_corpus, build_corpus_streaming
+
+    rng = np.random.default_rng(4)
+    files = []
+    for g in range(4):
+        p = tmp_path / f"g{g}.fasta"
+        with open(p, "w") as f:
+            for c in range(3):
+                seq = "".join("ACGT"[x] for x in rng.integers(0, 4, 700))
+                f.write(f">g{g}c{c}\n{seq[:333]}\n{seq[333:]}\n")
+        files.append((str(p), g + 1))
+    a = build_corpus(files)
+    b = build_corpus_streaming(files, str(tmp_path / "seq.bin"))
+    np.testing.assert_array_equal(np.asarray(b.seq), a.seq)
+    np.testing.assert_array_equal(b.contig_pos, a.contig_pos)
+    np.testing.assert_array_equal(b.ref_pos, a.ref_pos)
+    np.testing.assert_array_equal(b.ref_id, a.ref_id)
+
+
+def test_dist_build_from_streamed_corpus(tmp_path):
+    """dist_build_index over a memmap-backed streamed corpus (the CLI
+    --build_hosts path) must equal the in-memory build."""
+    import os
+
+    from cammiq_tpu.io.fasta import build_corpus, build_corpus_streaming
+
+    rng = np.random.default_rng(9)
+    shared = "".join("ACGT"[x] for x in rng.integers(0, 4, 500))
+    files = []
+    for g in range(6):
+        p = tmp_path / f"g{g}.fasta"
+        own = "".join("ACGT"[x] for x in rng.integers(0, 4, 2500))
+        ins = int(rng.integers(0, len(own) - len(shared)))
+        with open(p, "w") as f:
+            f.write(f">g{g}\n{own[:ins] + shared + own[ins:]}\n")
+        files.append((str(p), g + 1))
+    cfg = BuildConfig(k=14, L=80, Lmax=40, h=14, mode="both", num_groups=2)
+    ref = build_index(build_corpus(files), cfg, engine="native")
+    corpus = build_corpus_streaming(files, str(tmp_path / "seq.bin"))
+    with tempfile.TemporaryDirectory() as wd:
+        got, _ = dist_build_index(corpus, cfg, 2, wd, processes=False)
+    _assert_same(got, ref)
